@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics substrate: the scan/filter/aggregate/join/window
+  * machinery the vector store sits on. Declarative DataFrame plans only —
+  * Catalyst handles predicate pushdown, partial aggregation, join strategy.
+  *
+  * Sums are rounded to 2dp and averages to 4dp in both the Spark plan and
+  * the DuckDB oracle to absorb float-summation-order differences.
+  */
+object Analytics {
+
+  /** TPC-H Q1 pattern: scan-heavy filter + 8-way aggregate.
+    * Map-side partial aggregation → tiny shuffle (few groups). */
+  def q1(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3 pattern: customer ⋈ orders ⋈ lineitem, revenue top-10.
+    * customer (segment-filtered) broadcasts; orderBy+limit plans as
+    * TakeOrderedAndProject — no global sort. */
+  def q3(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") > to_timestamp(lit("1996-01-01")))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 pattern: 6-way star join with region filter; all dimension
+    * tables broadcast, lineitem never shuffles before aggregation. */
+  def q5(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val li = Tables.lineitem(spark, sfDir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp),
+        li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Per-group top-k via rank window: top-3 orders per customer by price.
+    * One shuffle on the group key; the scale path for huge groups is the
+    * partial top-k aggregate (SURVEY §6). */
+  def topKPerGroup(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  /** Event-time tumbling-window aggregation (1 hour) per event_type.
+    * Same plan Structured Streaming produces for the streaming variant;
+    * group-by keys rendered as epoch seconds for oracle parity. */
+  def eventsWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sessionization: 30-minute-gap sessions per user, batch formulation
+    * (lag + cumulative sum over a per-user window → one shuffle on user_id). */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val sessioned = Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    sessioned
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_timestamp(min(col("ts"))).as("session_start"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}

@@ -1,0 +1,31 @@
+package graft.tools
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling main: run one SparkEntry query N times in a warm JVM.
+  * Usage: runMain graft.tools.Profile <queryName> [sfDir] [--explain]
+  * Note: this machine's warm per-job floor is ~0.5s (measured via
+  * spark.range sums), so absolute small-SF latencies are overhead-bound;
+  * compare plans and job counts, not wall-clock, at sf<=0.01.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("knn_cosine")
+    val sfDir = args.drop(1).find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("--explain"))
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}
