@@ -33,6 +33,16 @@ object SparkEntry {
     "rag_context" -> ((s, d) => RagContext.context(s, d)),
     // --- relational analytics ---
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
+    "q3_join" -> ((s, d) => Analytics.q3(s, d)),
+    "q5_join" -> ((s, d) => Analytics.q5(s, d)),
+    "topk_per_group" -> ((s, d) => Analytics.topKPerGroup(s, d)),
+    "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
+    "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    // --- text analysis (training-data pipeline) ---
+    "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "text_langid" -> ((s, d) => TextAnalysis.langid(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -127,5 +137,95 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT l_orderkey, strftime(od, '%Y-%m-%d') AS o_orderdate, revenue FROM (
+        |  SELECT l_orderkey, o_orderdate AS od,
+        |    ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |    AND l_shipdate > TIMESTAMP '1996-01-01'
+        |  GROUP BY 1, 2)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "events_window" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS window_start,
+        |  event_type, count(*) AS n_events, ROUND(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, epoch_us(min(ts)) AS session_start,
+        |  ROUND(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, ts, value,
+        |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT user_id, event_id, ts, value,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS INTEGER) AS n_uniq_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  ROUND(n_stop / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
+        |  ROUND(0.5 * least(1.0, len(toks) / 60.0)
+        |      + 0.3 * (1.0 - n_stop / CAST(len(toks) AS DOUBLE))
+        |      + 0.2 * least(1.0, (length(text) / CAST(len(toks) AS DOUBLE)) / 8.0),
+        |    4) AS quality
+        |FROM (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS n_stop
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """SELECT doc_id, c_en, c_de, c_fr, c_es, c_zh,
+        |  CASE
+        |    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+        |    WHEN c_de >= c_en AND c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+        |    WHEN c_fr >= c_en AND c_fr >= c_de AND c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+        |    WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |    WHEN c_zh >= c_en AND c_zh >= c_de AND c_zh >= c_fr AND c_zh >= c_es THEN 'zh'
+        |  END AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','fast','slow','small','big'], t))) AS INTEGER) AS c_en,
+        |    CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','nicht'], t))) AS INTEGER) AS c_de,
+        |    CAST(len(list_filter(toks, t -> list_contains(['le','la','les','et','est'], t))) AS INTEGER) AS c_fr,
+        |    CAST(len(list_filter(toks, t -> list_contains(['el','los','las','y','es'], t))) AS INTEGER) AS c_es,
+        |    CAST(len(list_filter(toks, t -> list_contains(['shi','bu','wo','ni','hao'], t))) AS INTEGER) AS c_zh
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |    [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(text, '.')]),
+        |    (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -116,12 +116,17 @@ object Analytics {
   /** Sessionization: 30-minute-gap sessions per user, batch formulation
     * (lag + cumulative sum over a per-user window → one shuffle on user_id). */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // order by (ts, event_id): ties on ts would otherwise make the lag —
+    // and thus session assignment — nondeterministic across engines
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
     val sessioned = Tables.events(spark, sfDir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
+        // microsecond arithmetic: exact parity with the oracle's epoch_us
+        // (second-floored diffs disagree on fractional-second gaps)
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_id",
         sum(col("new_session")).over(
@@ -130,7 +135,7 @@ object Analytics {
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        unix_timestamp(min(col("ts"))).as("session_start"),
+        unix_micros(min(col("ts"))).as("session_start"),
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("user_id"), col("session_id"))
   }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline over `documents`
+  * (the corpus the reference's vector store indexes; /root/reference/app.py
+  * stores `(id, text, metadata)` rows — these ops are the corpus-side QA a
+  * 100 TB ingest needs before embedding).
+  *
+  * All map-only: one codegen'd pass per document, no shuffle. Formulas are
+  * expressed with built-in higher-order functions (codegen'd) so they are
+  * reproducible 1:1 in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Token counts: whitespace tokens, punctuation-aware alnum tokens,
+    * distinct alnum tokens. */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_tokens"),
+      size(array_distinct(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")))
+        .as("n_uniq_tokens"))
+      .orderBy("doc_id")
+
+  private val stopwords =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private def stopwordSql =
+    stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+
+  /** Quality score: length, mean token length, stopword ratio →
+    * weighted score in [0,1]. The exact formula is arbitrary but fixed;
+    * the DuckDB oracle reproduces it term for term. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        size(expr(s"filter(toks, t -> array_contains($stopwordSql, t))")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        col("n_tokens"),
+        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+        round(
+          lit(0.5) * least(lit(1.0), col("n_tokens") / lit(60.0)) +
+          lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens")) +
+          lit(0.2) * least(lit(1.0),
+            (length(col("text")) / col("n_tokens")) / lit(8.0)),
+          4).as("quality"))
+      .orderBy("doc_id")
+
+  /** Stopword-marker language ID. Scores each candidate language by marker
+    * hits and takes the argmax (fixed en>de>fr>es>zh tie order). Determinism,
+    * not linguistic accuracy, is the contract — the corpus is synthetic. */
+  private[graft] val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "small", "big"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "hao"))
+
+  def langid(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+    val scored = langMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+      val arr = markers.map(w => s"'$w'").mkString("array(", ", ", ")")
+      df.withColumn(s"c_$lang",
+        size(expr(s"filter(toks, t -> array_contains($arr, t))")))
+    }
+    val langs = langMarkers.map(_._1)
+    // first max in fixed order = deterministic argmax
+    val pred = langs.tail.foldLeft(
+      when(langs.tail.map(l => col("c_en") >= col(s"c_$l")).reduce(_ && _), "en")) {
+      case (acc, lang) =>
+        val others = langs.filterNot(_ == lang)
+        acc.when(others.map(o => col(s"c_$lang") >= col(s"c_$o"))
+          .reduce(_ && _), lang)
+    }
+    scored.select(
+      col("doc_id") +: langs.map(l => col(s"c_$l")) :+ pred.as("pred_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** 61-bit polynomial rolling-hash fingerprint per document (native
+    * codegen expression; one scan, no shuffle). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextFunctions.polyFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+}
