@@ -43,6 +43,12 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langid(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // --- deduplication (training-data pipeline) ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -227,5 +233,35 @@ object SparkEntry {
         |    [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(text, '.')]),
         |    (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, text_md5, count(*) AS n_copies FROM (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_md5
+        |  FROM documents)
+        |GROUP BY text_md5 ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+        |     FOR i IN range(1, len(s) - 3)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ') AS s
+        |        FROM documents)
+        |  WHERE len(s) >= 5),
+        |e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+        |    count(*) AS common
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        |  ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) AS jaccard
+        |FROM p WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

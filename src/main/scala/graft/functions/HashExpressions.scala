@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash / SimHash primitives for near-duplicate detection at corpus scale.
+  *
+  * Both are single-pass, map-only native expressions: a 100 TB dedup run
+  * computes every signature in one codegen'd scan, and only signatures
+  * (128·8 B or 8 B per doc) ever shuffle — never the documents themselves
+  * (SURVEY §6). Permutation constants come from a fixed SplitMix64 stream,
+  * so signatures are deterministic across runs and executors.
+  */
+object MinHash {
+  final val NumPerms = 128
+
+  private def splitmix(seed: Long): Iterator[Long] = {
+    var x = seed
+    Iterator.continually {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+
+  // h_i(x) = (a_i * x + b_i) mod (2^61-1), a_i odd-ish nonzero
+  private val as: Array[Long] =
+    splitmix(42L).map(v => (v & Mersenne61.P) | 1L).take(NumPerms).toArray
+  private val bs: Array[Long] =
+    splitmix(1337L).map(_ & Mersenne61.P).take(NumPerms).toArray
+
+  /** 128-long minhash signature over a set of string shingles. */
+  def signature(shingles: ArrayData): ArrayData = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    var i = 0
+    val n = shingles.numElements()
+    while (i < n) {
+      val base = Mersenne61.polyHash(shingles.getUTF8String(i))
+      var j = 0
+      while (j < NumPerms) {
+        var h = Mersenne61.mulmod(as(j), base) + bs(j)
+        if (h >= Mersenne61.P) h -= Mersenne61.P
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** minhash_sig(shingles): 128-perm MinHash signature as array<long>. */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "minhash_sig"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    MinHash.signature(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash.signature($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object SimHash {
+  /** 64-bit SimHash over token multiset: per token hash, each bit votes
+    * +1/-1; fingerprint bit = sign of the vote sum. */
+  def fingerprint(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val h = Mersenne61.polyHash(tokens.getUTF8String(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+}
+
+/** simhash64(tokens): 64-bit SimHash fingerprint as long. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "simhash64"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    SimHash.fingerprint(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.fingerprint($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object HashFunctions {
+  import Bridge.{col, expr}
+  def minhashSig(x: Column): Column = col(MinHashSig(expr(x)))
+  def simhash64(x: Column): Column = col(SimHash64(expr(x)))
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.register(spark, "minhash_sig", es => MinHashSig(es.head))
+    Bridge.register(spark, "simhash64", es => SimHash64(es.head))
+  }
+}
