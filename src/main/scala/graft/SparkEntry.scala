@@ -49,6 +49,12 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // --- ANN index structures (rows-only oracles) ---
+    "ivf_build" -> ((s, d) => VectorIndex.ivfBuild(s, d)),
+    "ivf_search" -> ((s, d) => VectorIndex.ivfSearch(s, d)),
+    "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
+    // --- multimodal (stubbed decode, real plumbing) ---
+    "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -263,5 +269,12 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  substring(hex(encode(text)), 1, 8) AS magic,
+        |  CAST(16 * (1 + octet_length(encode(text)) % 64) AS INTEGER) AS width,
+        |  CAST(16 * (1 + (octet_length(encode(text)) // 64) % 64) AS INTEGER) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

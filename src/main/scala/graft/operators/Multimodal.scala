@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pipeline: media payloads as opaque `binary` columns
+  * with typed metadata (SURVEY §2 `mm_meta`).
+  *
+  * The corpus has no real image/audio bytes, so the *payload* is the UTF-8
+  * encoding of the document text and the *decoder* is a deterministic stub —
+  * but the Spark-side plumbing is the real shape a 100 TB media pipeline
+  * needs: a typed `Dataset[MediaRecord]`, batched per-partition decode (the
+  * seam where an Arrow/pandas-style vectorized library call goes), explicit
+  * batch size, and a columnar metadata result that joins back by id.
+  * Decode never shuffles; it is a map-only pass over the binary column.
+  */
+object Multimodal {
+
+  /** Opaque media payload row (what an ingest table of images would hold). */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+  /** Typed decode result; in a real pipeline `width/height/frames` come
+    * from the media library, here from the deterministic stub. */
+  case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Int,
+      magic: String,
+      width: Int,
+      height: Int,
+      frames: Int)
+
+  /** Media-library batch size: the decode seam processes payloads in fixed
+    * batches, the shape a vectorized (Arrow) decode call expects. */
+  final val DecodeBatchSize = 64
+
+  /** STUB DECODER — deterministic fake standing in for an image/audio
+    * library call (none is installed in this environment). Derives plausible
+    * (width, height, frames) purely from the payload length so the DuckDB
+    * oracle can reproduce it. A real deployment swaps only this function. */
+  def stubDecodeBatch(batch: Array[MediaRecord]): Array[MediaMeta] =
+    batch.map { r =>
+      val n = r.payload.length
+      MediaMeta(
+        doc_id = r.doc_id,
+        n_bytes = n,
+        magic = r.payload.take(4).map(b => f"$b%02X").mkString,
+        width = 16 * (1 + n % 64),
+        height = 16 * (1 + (n / 64) % 64),
+        frames = 1 + n % 30)
+    }
+
+  /** The binary ingest table: documents' text bytes standing in for media
+    * payloads. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Batched per-partition decode: the mapPartitions seam batches records
+    * and hands each batch to the (stub) vectorized decoder. */
+  def decodeMeta(spark: SparkSession, sfDir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(g => stubDecodeBatch(g.toArray))
+    }
+  }
+
+  /** `mm_meta` query: decoded metadata, oracle-checkable because the stub
+    * is a pure function of the payload bytes. */
+  def meta(spark: SparkSession, sfDir: String): DataFrame =
+    decodeMeta(spark, sfDir).toDF().orderBy("doc_id")
+}

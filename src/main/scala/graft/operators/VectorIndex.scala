@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{IndexFunctions, IndexOps, VectorFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN index structures — the `index_enabled=True` path of the reference's
+  * vector store (langchain_ydb builds a coarse quantized index offline; the
+  * reference demo runs with it off, /root/reference/app.py:37, falling back
+  * to the exact scan in KnnSearch).
+  *
+  * IVF here is Lloyd's k-means with deterministic seeding. The centroid set
+  * is model state, not data: k·dim floats live on the driver and broadcast
+  * into a native assignment expression, so each iteration is one map-only
+  * scan plus a (cluster, dim)-keyed partial aggregation — at 100 TB the
+  * per-iteration shuffle traffic is k·dim·partitions numbers, independent
+  * of corpus size. The built store, written partitioned by centroid_id,
+  * turns `nprobe`-cluster search into partition-pruned reads of nprobe/k
+  * of the data.
+  */
+object VectorIndex {
+  final val K = 16
+  final val Iters = 5
+  final val NPlanes = 16
+
+  // trained centroids are model state: cache per store so build+search in
+  // one session train once
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
+
+  /** Deterministic k-means: init = embeddings of the k smallest vec_ids,
+    * then `Iters` Lloyd iterations. Returns driver-side centroid matrix. */
+  def trainCentroids(spark: SparkSession, sfDir: String): Array[Array[Float]] =
+    centroidCache.computeIfAbsent(sfDir, _ => trainCentroidsUncached(spark, sfDir))
+
+  private def trainCentroidsUncached(
+      spark: SparkSession, sfDir: String): Array[Array[Float]] = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    var centroids: Array[Array[Float]] = emb
+      .orderBy(col("vec_id"))
+      .limit(K)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    emb.cache()
+    try {
+      for (_ <- 1 to Iters) {
+        // one codegen'd scan assigns; partial sums shuffle only
+        // (cluster, dim) keys — k·dim rows total to the driver
+        val sums = emb
+          .select(IndexFunctions.nearestCentroid(col("embedding"), centroids)
+            .getField("centroid_id").as("cid"), col("embedding"))
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        sums.foreach { r =>
+          val cid = r.getInt(0)
+          next(cid)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+        }
+        centroids = next
+      }
+    } finally emb.unpersist()
+    centroids
+  }
+
+  /** IVF build output: every vector's final cluster assignment. At scale
+    * this result is what gets written `partitionBy("centroid_id")`. */
+  def ivfBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val centroids = trainCentroids(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        IndexFunctions.nearestCentroid(col("embedding"), centroids).as("nc"))
+      .select(col("vec_id"), col("label"),
+        col("nc.centroid_id").as("centroid_id"),
+        round(col("nc.dist"), 4).as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF probe: nearest `nprobe` centroids to the query (computed on the
+    * driver — centroids are model state), then exact top-k over only the
+    * member vectors of those clusters. With a centroid-partitioned store
+    * this is a partition-pruned scan of nprobe/k of the corpus. */
+  def ivfSearch(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      nprobe: Int = 4,
+      queryVecId: Long = 0L): DataFrame = {
+    val centroids = trainCentroids(spark, sfDir)
+    val qv = KnnSearch.queryVector(spark, sfDir, queryVecId)
+    val probed = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var s = 0.0
+        var d = 0
+        while (d < qv.length) { val t = qv(d).toDouble - c(d); s += t * t; d += 1 }
+        (i, s)
+      }
+      .sortBy { case (i, s) => (s, i) }
+      .take(nprobe)
+      .map(_._1)
+      .toSeq
+    val q = typedLit(qv)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        IndexFunctions.nearestCentroid(col("embedding"), centroids)
+          .getField("centroid_id").as("centroid_id"))
+      .where(col("centroid_id").isin(probed: _*) && col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        round(VectorFunctions.cosineSim(col("embedding"), q), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH bucketing: 16-bit signatures → bucket histogram
+    * (the store-side structure for sub-linear cosine search). Map-only scan
+    * + one small aggregation keyed by bucket. */
+  def lshBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val planes = IndexOps.hyperplanes(NPlanes, dim)
+    emb
+      .select(IndexFunctions.hyperplaneLsh(col("embedding"), planes).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("bucket"))
+  }
+}
