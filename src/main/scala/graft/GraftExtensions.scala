@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring: makes every graft native function available to
+  * plain `spark.sql(...)` text in any session configured with
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (the sanctioned library-integration hook — no session code changes, works
+  * under spark-submit / Thrift / notebooks). `register(spark)` offers the
+  * same surface imperatively for an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, arity, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (es: Seq[Expression]) => {
+          require(es.length == arity, s"$name expects $arity arguments")
+          builder(es)
+        }))
+    }
+}
+
+object GraftExtensions {
+  /** (name, arity, builder) for every SQL-exposed native expression. */
+  val functions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", 2, es => CosineSim(es(0), es(1))),
+    ("dot_product", 2, es => DotProduct(es(0), es(1))),
+    ("l2_dist", 2, es => L2Distance(es(0), es(1))),
+    ("l2_norm", 1, es => L2Norm(es.head)),
+    ("l2_normalize", 1, es => L2Normalize(es.head)),
+    ("poly_fingerprint", 1, es => PolyFingerprint(es.head)),
+    ("minhash_sig", 1, es => MinHashSig(es.head)),
+    ("simhash64", 1, es => SimHash64(es.head)))
+
+  /** Imperative registration into a live session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    VectorFunctions.register(spark)
+    TextFunctions.register(spark)
+    HashFunctions.register(spark)
+  }
+}
