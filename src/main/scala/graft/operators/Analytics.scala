@@ -83,10 +83,27 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** Per-group top-k via rank window: top-3 orders per customer by price.
-    * One shuffle on the group key; the scale path for huge groups is the
-    * partial top-k aggregate (SURVEY §6). */
+  /** Per-group top-k (top-3 orders per customer by price) via the native
+    * TopKAgg TypedImperativeAggregate: map-side partial heaps mean the
+    * shuffle carries ≤ k rows per group instead of every row — the window
+    * formulation (kept below for cross-checking) sorts entire groups. */
   def topKPerGroup(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import graft.functions.TopKAgg.topkAgg
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(topkAgg(-col("o_totalprice"), col("o_orderkey"), k).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(
+        col("o_custkey"),
+        col("p.id").as("o_orderkey"),
+        (-col("p.ord")).as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  /** Window-rank formulation of the same query (reference semantics for
+    * specs; one shuffle + full per-group sort). */
+  def topKPerGroupWindow(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(spark, sfDir)

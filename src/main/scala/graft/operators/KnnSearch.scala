@@ -114,7 +114,7 @@ object KnnSearch {
       sfDir: String,
       nQueries: Int = 5,
       k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKAgg.topkAgg
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb
       .where(col("vec_id") < nQueries)
@@ -126,12 +126,17 @@ object KnnSearch {
         col("query_id"),
         col("vec_id"),
         round(cosineSim(col("embedding"), col("query_vec")), 4).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
+    // per-query top-k via the TopKAgg partial aggregate: the shuffle after
+    // scoring carries k rows per query, not nQueries × corpus
     scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("score"), col("rank"))
+      .groupBy(col("query_id"))
+      .agg(topkAgg(-col("score"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(
+        col("query_id"),
+        col("p.id").as("vec_id"),
+        (-col("p.ord")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
