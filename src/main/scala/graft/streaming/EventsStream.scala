@@ -36,12 +36,95 @@ object EventsStream {
         unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Microsecond-precision timestamp format for the json file source —
+    * the default format truncates to milliseconds, which would shift
+    * session boundaries relative to the parquet-sourced batch plan. */
+  final val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** File-source stream over a directory of event files (json lines),
     * 10-minute watermark, windowed aggregation. */
   def stream(spark: SparkSession, dir: String): DataFrame =
     windowAgg(
       spark.readStream
         .schema(eventSchema)
+        .option("timestampFormat", TsFormat)
         .json(dir)
         .withWatermark("ts", "10 minutes"))
+
+  // --- sessionization with custom state ------------------------------------
+
+  /** Gap defining a session boundary (micros) — same 30 minutes as the
+    * batch `Analytics.sessionize`. */
+  final val SessionGapMicros: Long = 30L * 60 * 1000000
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Open-session state kept per user between micro-batches (micros). */
+  case class OpenSession(start: Long, last: Long, n: Long, sum: Double)
+
+  case class SessionOut(
+      user_id: Long, session_start: Long, n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization via `flatMapGroupsWithState`: one state
+    * object per user (the *open* session only — closed sessions are
+    * emitted and forgotten, so state is O(users), not O(events)). An
+    * event-time timeout set to `last + gap` closes idle sessions once the
+    * watermark passes them — the streaming twin of the batch
+    * lag/cumsum formulation, with identical session boundaries. */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent])
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (evs.isEmpty && state.hasTimedOut) {
+            // watermark passed last+gap: the open session is closed
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start, s.n, s.sum))
+          } else {
+            val sorted = evs.toArray.sortBy(e => (micros(e.ts), e.value))
+            val closed = Vector.newBuilder[SessionOut]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              open match {
+                case Some(s) if t - s.last <= SessionGapMicros =>
+                  open = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start, s.n, s.sum)
+                  open = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + SessionGapMicros) / 1000 + 1)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming sessionization over a json file-source directory. */
+  def sessionStream(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    sessionize(
+      spark.readStream
+        .schema(eventSchema)
+        .option("timestampFormat", TsFormat)
+        .json(dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[SessionEvent])
+  }
 }

@@ -12,7 +12,8 @@ class EventsStreamSpec extends SparkSpec {
     Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1)
-      .write.mode("overwrite").json(dir)
+      .write.option("timestampFormat", EventsStream.TsFormat)
+      .mode("overwrite").json(dir)
 
     val q = EventsStream.stream(spark, dir)
       .writeStream
