@@ -114,6 +114,57 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** Materialize the IVF store: vectors written `partitionBy(centroid_id)`
+    * plus a centroids side-table — the layout that turns an `nprobe`-probe
+    * search into a partition-pruned read of nprobe/k of the corpus. */
+  def writeStore(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val centroids = trainCentroids(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        IndexFunctions.nearestCentroid(col("embedding"), centroids)
+          .getField("centroid_id").as("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/vectors")
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Search a materialized IVF store. The `centroid_id IN (...)` predicate
+    * is a partition filter on the written layout: Spark's file index prunes
+    * the non-probed directories before any IO — the scan reads nprobe/k of
+    * the data, which is the point of the index. */
+  def searchStore(
+      spark: SparkSession,
+      path: String,
+      queryVec: Array[Float],
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("centroid_id").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val probed = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var s = 0.0
+        var d = 0
+        while (d < queryVec.length) {
+          val t = queryVec(d).toDouble - c(d); s += t * t; d += 1
+        }
+        (i, s)
+      }
+      .sortBy { case (i, s) => (s, i) }
+      .take(nprobe).map(_._1).toSeq
+    spark.read.parquet(s"$path/vectors")
+      .where(col("centroid_id").isin(probed: _*))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        round(VectorFunctions.cosineSim(col("embedding"), typedLit(queryVec)), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH bucketing: 16-bit signatures → bucket histogram
     * (the store-side structure for sub-linear cosine search). Map-only scan
     * + one small aggregation keyed by bucket. */
