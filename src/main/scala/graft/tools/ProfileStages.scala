@@ -1,31 +1,22 @@
 package graft.tools
-import graft.Tables
-import graft.functions.HashFunctions
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import graft.{GraftSession, SparkEntry}
 
+/** Sequence harness: run the named queries in order in one session,
+  * timing each — for diagnosing cross-query session effects that
+  * single-query Profile can't see.
+  * Usage: runMain graft.tools.ProfileStages <sfDir> <query> [query...] */
 object ProfileStages {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val normText = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-    val fps = Tables.documents(spark, sfDir)
-      .withColumn("toks", split(normText, " "))
-      .select(col("doc_id"), HashFunctions.simhash64(col("toks")).as("fp"))
-    val banded = fps.select(col("doc_id"), col("fp"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftright(fp, b * 16) & 65535L)"))
-        .as(Seq("band", "block")))
-    val sizes = banded.groupBy("band", "block").count()
-      .select(col("count"))
-      .groupBy(col("count").as("bucket_size")).agg(count(lit(1)).as("n_buckets"),
-        sum(col("count") * (col("count") - 1) / 2).as("pairs"))
-      .orderBy(col("bucket_size").desc)
-    sizes.show(12, false)
-    println("[profile] total pairs: " + banded.groupBy("band", "block").count()
-      .agg(sum(col("count") * (col("count") - 1) / 2)).head().get(0))
+    val names = if (args.length > 1) args.drop(1).toSeq
+                else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.local(16)
+    names.foreach { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable => println(s"[profile] $name FAILED: $e") }
+      println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }
