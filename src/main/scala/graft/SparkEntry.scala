@@ -53,6 +53,7 @@ object SparkEntry {
     "ivf_build" -> ((s, d) => VectorIndex.ivfBuild(s, d)),
     "ivf_search" -> ((s, d) => VectorIndex.ivfSearch(s, d)),
     "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
+    "lsh_search" -> ((s, d) => VectorIndex.lshSearch(s, d)),
     // --- multimodal (stubbed decode, real plumbing) ---
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
   )

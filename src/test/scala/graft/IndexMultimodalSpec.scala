@@ -30,6 +30,16 @@ class IndexMultimodalSpec extends SparkSpec {
     assert(rows.map(_.getInt(2)).distinct.length <= 4)
   }
 
+  test("lsh-probed search returns valid candidates scored like the exact scan") {
+    val rows = VectorIndex.lshSearch(spark, sfDir, k = 10).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // every returned score must equal the exact scan's score for that id
+    val exact = graft.operators.KnnSearch
+      .aboveThreshold(spark, sfDir, -1.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(exact(r.getLong(0)) == r.getDouble(3)))
+  }
+
   test("lsh buckets partition the store") {
     val total = VectorIndex.lshBuckets(spark, sfDir)
       .agg(sum("n_vectors")).head().getLong(0)
