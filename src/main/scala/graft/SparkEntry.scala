@@ -56,6 +56,8 @@ object SparkEntry {
     "lsh_search" -> ((s, d) => VectorIndex.lshSearch(s, d)),
     // --- multimodal (stubbed decode, real plumbing) ---
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
+    // --- composed pipeline ---
+    "pipeline_clean" -> ((s, d) => CleanCorpus.clean(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -240,6 +242,46 @@ object SparkEntry {
         |    [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(text, '.')]),
         |    (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_clean" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS n_stop
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ROUND(0.5 * least(1.0, len(toks) / 60.0)
+        |        + 0.3 * (1.0 - n_stop / CAST(len(toks) AS DOUBLE))
+        |        + 0.2 * least(1.0, (length(text) / CAST(len(toks) AS DOUBLE)) / 8.0),
+        |      4) AS quality,
+        |    len(list_filter(toks, t -> list_contains(['the','a','fast','slow','small','big'], t))) AS c_en,
+        |    greatest(
+        |      len(list_filter(toks, t -> list_contains(['der','die','das','und','nicht'], t))),
+        |      len(list_filter(toks, t -> list_contains(['le','la','les','et','est'], t))),
+        |      len(list_filter(toks, t -> list_contains(['el','los','las','y','es'], t))),
+        |      len(list_filter(toks, t -> list_contains(['shi','bu','wo','ni','hao'], t)))) AS c_other
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+        |     FOR i IN range(1, len(s) - 3)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ') AS s
+        |        FROM documents)
+        |  WHERE len(s) >= 5),
+        |e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+        |    count(*) AS common
+        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |dups AS (
+        |  SELECT DISTINCT doc_b FROM p
+        |  WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.8)
+        |SELECT doc_id, quality FROM scored
+        |WHERE quality >= 0.5 AND c_en >= c_other
+        |  AND doc_id NOT IN (SELECT doc_b FROM dups)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, text_md5, count(*) AS n_copies FROM (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_md5

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus cleaning — the composed pipeline a training-data
+  * ingest runs before embedding (SURVEY §2 suites joined up): keep
+  * documents that (a) score above a quality threshold, (b) are predicted
+  * English, and (c) are not the duplicate side of a near-dup pair.
+  *
+  * Shape at scale: quality + langid are computed in ONE codegen'd scan
+  * (not joins of the individual queries — the per-doc stats share the
+  * tokenization); the only shuffles are the shingle bucketing inherited
+  * from the jaccard dedup and a broadcast anti-join against the (tiny)
+  * duplicate-id list. */
+object CleanCorpus {
+
+  def clean(
+      spark: SparkSession,
+      sfDir: String,
+      minQuality: Double = 0.5): DataFrame = {
+    val markers = TextAnalysis.langMarkers.toMap
+    def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val stop = arr(Seq("the", "a", "and", "of", "to", "in", "is", "it"))
+
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> array_contains($stop, t)))"))
+      .withColumn("quality",
+        round(
+          lit(0.5) * least(lit(1.0), size(col("toks")) / lit(60.0)) +
+          lit(0.3) * (lit(1.0) - col("n_stop") / size(col("toks"))) +
+          lit(0.2) * least(lit(1.0),
+            (length(col("text")) / size(col("toks"))) / lit(8.0)),
+          4))
+      .withColumn("c_en",
+        expr(s"size(filter(toks, t -> array_contains(${arr(markers("en"))}, t)))"))
+      .withColumn("c_other", greatest(
+        markers.keys.filterNot(_ == "en").toSeq.map(l =>
+          expr(s"size(filter(toks, t -> array_contains(${arr(markers(l))}, t)))")): _*))
+
+    val dupIds = Dedup.ngramJaccard(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    scored
+      .where(col("quality") >= minQuality && col("c_en") >= col("c_other"))
+      .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+}
