@@ -27,6 +27,7 @@ object SparkEntry {
       KnnSearch.topK(s, d, KnnSearch.Cosine,
         filter = Some(org.apache.spark.sql.functions.col("label") === 3))),
     "knn_threshold" -> ((s, d) => KnnSearch.aboveThreshold(s, d, 0.2)),
+    "knn_cosine_norm" -> ((s, d) => KnnSearch.topKNormalized(s, d)),
     "knn_batch" -> ((s, d) => KnnSearch.batchTopK(s, d)),
     "vec_normalize" -> ((s, d) => KnnSearch.normalizedStore(s, d)),
     "store_stats" -> ((s, d) => KnnSearch.storeStats(s, d)),
@@ -102,6 +103,18 @@ object SparkEntry {
         |  WHERE e.vec_id <> 0)
         |WHERE score >= 0.2
         |ORDER BY score DESC, vec_id""".stripMargin,
+    "knn_cosine_norm" ->
+      """SELECT e.vec_id, e.label,
+        |  ROUND(list_inner_product(
+        |    [x / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) FOR x IN CAST(e.embedding AS DOUBLE[])],
+        |    q.uq), 4) AS score
+        |FROM embeddings e
+        |CROSS JOIN (
+        |  SELECT [x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) FOR x IN CAST(embedding AS DOUBLE[])] AS uq
+        |  FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
     "knn_batch" ->
       """SELECT query_id, vec_id, score, rank FROM (
         |  SELECT query_id, vec_id, score,

@@ -140,6 +140,36 @@ object KnnSearch {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cosine search over the *normalized* store layout: unit vectors are
+    * computed (in double) at store-build time, so the per-query score
+    * collapses to a plain dot product — one multiply-add per dimension
+    * instead of three, which is the production layout `normalizedStore`
+    * exists for. Top-k semantics identical to `topK(Cosine)`. */
+  def topKNormalized(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      queryVecId: Long = 0L): DataFrame = {
+    val qv = queryVector(spark, sfDir, queryVecId).map(_.toDouble)
+    val qn = math.sqrt(qv.map(x => x * x).sum)
+    val q = typedLit(qv.map(_ / qn))
+    Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") =!= queryVecId)
+      // store-build step (double math end-to-end for oracle-exact parity)
+      .withColumn("unit", expr(
+        """transform(embedding,
+          |  x -> CAST(x AS DOUBLE) / sqrt(aggregate(
+          |    transform(embedding, y -> CAST(y AS DOUBLE) * y),
+          |    0D, (s, v) -> s + v)))""".stripMargin))
+      .withColumn("qv", q)
+      .select(
+        col("vec_id"), col("label"),
+        round(expr("aggregate(zip_with(unit, qv, (x, y) -> x * y), 0D, (s, v) -> s + v)"), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Store build (the reference's `add_texts` path): L2-normalized vectors +
     * norms, ready to write partitioned for cosine-as-dot search. */
   def normalizedStore(spark: SparkSession, sfDir: String): DataFrame =
