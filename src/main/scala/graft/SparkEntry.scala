@@ -39,6 +39,7 @@ object SparkEntry {
     "topk_per_group" -> ((s, d) => Analytics.topKPerGroup(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "events_session_window" -> ((s, d) => Analytics.sessionWindow(s, d)),
     // --- text analysis (training-data pipeline) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -212,6 +213,20 @@ object SparkEntry {
         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |      FROM events)))
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_session_window" ->
+      """SELECT user_id, min(ts_us) AS session_start,
+        |  count(*) AS n_events, ROUND(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT user_id, ts_us, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM (
+        |    SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |      CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT user_id, ts, value,
+        |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |      FROM events)))
+        |GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,

@@ -130,6 +130,24 @@ object Analytics {
         col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sessionization via Spark's built-in `session_window` — the idiomatic
+    * formulation (one shuffle, sessions merged by the operator itself; also
+    * valid unchanged under Structured Streaming). Boundary semantics: an
+    * event exactly `gap` after the previous one starts a NEW session
+    * (merge while t < last + gap), so the oracle uses `>=` where the
+    * lag/cumsum formulation uses `>`. */
+  def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Sessionization: 30-minute-gap sessions per user, batch formulation
     * (lag + cumulative sum over a per-user window → one shuffle on user_id). */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
