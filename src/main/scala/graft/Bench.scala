@@ -1,31 +1,71 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line.
   *
-  * Each query is executed twice and the minimum is reported: the first
-  * execution pays one-time JVM cost (Janino compilation of the generated
-  * code + JIT warmup), and this host shows multi-second CPU-steal bursts
-  * (noisy-neighbor VM), so a single sample can be 5-50× steady state.
-  * Min-of-2 at the same SF measures the engine, not the neighbors. */
+  * Measurement discipline (this host is a noisy-neighbor VM with
+  * multi-second CPU-steal bursts; a single sample can be 5-50× steady
+  * state):
+  *   - the action is a write to the `noop` sink, which executes the FULL
+  *     plan including final sorts (a bare `count()` lets Catalyst drop
+  *     order-by stages and under-measures);
+  *   - every query runs twice (pass 1 also pays Janino/JIT warmup) and the
+  *     min is kept;
+  *   - an outlier-retry pass then re-runs any query whose min is still
+  *     > 5× the median of the other mins — a steal burst that hit both
+  *     passes of one query would otherwise report as engine time;
+  *   - failures are NOT swallowed: a crashed query reports `"failed"` and
+  *     is excluded from the total rather than masquerading as a fast run.
+  */
 object Bench {
+  private def runOnce(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.local(cpus)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.Set.empty[String]
+
+    def sample(name: String): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        runOnce(SparkEntry.queries(name)(spark, sfDir))
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+      } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+
     for (pass_ <- 1 to 2; name <- names) {
       if (pass_ == 2 && name == names.head) { System.gc(); Thread.sleep(1000) }
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
-      times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+      sample(name)
     }
-    val qs = names.map(n => "\"" + n + "\":" + times(n)).mkString("{", ",", "}")
-    val total = names.map(times).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // outlier-retry: a query whose min is far above the pack's median was
+    // likely hit by a steal burst in both passes — re-measure it (twice).
+    val ok = names.filterNot(failed)
+    if (ok.size >= 4) {
+      val sorted = ok.map(times).sorted
+      val median = sorted(sorted.size / 2)
+      val outliers = ok.filter(n => times(n) > math.max(5 * median, 5.0))
+      for (n <- outliers) { sample(n); sample(n) }
+    }
+
+    // "queries" stays numeric-only (downstream parsers expect seconds);
+    // failed queries are omitted there and listed under "failed" instead.
+    val qs = names.filterNot(failed)
+      .map(n => "\"" + n + "\":" + times(n)).mkString("{", ",", "}")
+    val total = names.filterNot(failed).map(times).sum
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -236,11 +236,11 @@ object SparkEntry {
     "text_quality" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
         |  CAST(len(toks) AS INTEGER) AS n_tokens,
-        |  ROUND(n_stop / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
-        |  ROUND(0.5 * least(1.0, len(toks) / 60.0)
+        |  FLOOR(n_stop / CAST(len(toks) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS stop_ratio,
+        |  FLOOR((0.5 * least(1.0, len(toks) / 60.0)
         |      + 0.3 * (1.0 - n_stop / CAST(len(toks) AS DOUBLE))
-        |      + 0.2 * least(1.0, (length(text) / CAST(len(toks) AS DOUBLE)) / 8.0),
-        |    4) AS quality
+        |      + 0.2 * least(1.0, (length(text) / CAST(len(toks) AS DOUBLE)) / 8.0))
+        |    * 10000 + 0.5) / 10000.0 AS quality
         |FROM (
         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
         |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
@@ -278,10 +278,10 @@ object SparkEntry {
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id,
-        |    ROUND(0.5 * least(1.0, len(toks) / 60.0)
+        |    FLOOR((0.5 * least(1.0, len(toks) / 60.0)
         |        + 0.3 * (1.0 - n_stop / CAST(len(toks) AS DOUBLE))
-        |        + 0.2 * least(1.0, (length(text) / CAST(len(toks) AS DOUBLE)) / 8.0),
-        |      4) AS quality,
+        |        + 0.2 * least(1.0, (length(text) / CAST(len(toks) AS DOUBLE)) / 8.0))
+        |      * 10000 + 0.5) / 10000.0 AS quality,
         |    len(list_filter(toks, t -> list_contains(['the','a','fast','slow','small','big'], t))) AS c_en,
         |    greatest(
         |      len(list_filter(toks, t -> list_contains(['der','die','das','und','nicht'], t))),

@@ -29,12 +29,11 @@ object CleanCorpus {
       .withColumn("n_stop",
         expr(s"size(filter(toks, t -> array_contains($stop, t)))"))
       .withColumn("quality",
-        round(
+        TextAnalysis.round4(
           lit(0.5) * least(lit(1.0), size(col("toks")) / lit(60.0)) +
           lit(0.3) * (lit(1.0) - col("n_stop") / size(col("toks"))) +
           lit(0.2) * least(lit(1.0),
-            (length(col("text")) / size(col("toks"))) / lit(8.0)),
-          4))
+            (length(col("text")) / size(col("toks"))) / lit(8.0))))
       .withColumn("c_en",
         expr(s"size(filter(toks, t -> array_contains(${arr(markers("en"))}, t)))"))
       .withColumn("c_other", greatest(

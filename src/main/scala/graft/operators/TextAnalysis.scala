@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline over `documents`
@@ -32,6 +32,15 @@ object TextAnalysis {
   private def stopwordSql =
     stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
 
+  /** 4-dp rounding as explicit double ops: `floor(x·10⁴ + 0.5) / 10⁴`.
+    * Spark's `round` goes through BigDecimal on the shortest decimal
+    * representation while DuckDB's multiplies in binary double — for raw
+    * values a hair below a half boundary (0.48124999999999996·10⁴ snaps to
+    * exactly 4812.5) the two disagree. Spelling the rounding out as the same
+    * IEEE ops on both sides makes the engines bit-identical by construction. */
+  private[graft] def round4(c: Column): Column =
+    floor(c * lit(10000) + lit(0.5)) / lit(10000.0)
+
   /** Quality score: length, mean token length, stopword ratio →
     * weighted score in [0,1]. The exact formula is arbitrary but fixed;
     * the DuckDB oracle reproduces it term for term. */
@@ -45,13 +54,13 @@ object TextAnalysis {
         col("doc_id"),
         length(col("text")).as("n_chars"),
         col("n_tokens"),
-        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
-        round(
+        round4(col("n_stop") / col("n_tokens")).as("stop_ratio"),
+        round4(
           lit(0.5) * least(lit(1.0), col("n_tokens") / lit(60.0)) +
           lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens")) +
           lit(0.2) * least(lit(1.0),
-            (length(col("text")) / col("n_tokens")) / lit(8.0)),
-          4).as("quality"))
+            (length(col("text")) / col("n_tokens")) / lit(8.0)))
+          .as("quality"))
       .orderBy("doc_id")
 
   /** Stopword-marker language ID. Scores each candidate language by marker
