@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     // --- ANN index structures (rows-only oracles) ---
     "ivf_build" -> ((s, d) => VectorIndex.ivfBuild(s, d)),
     "ivf_search" -> ((s, d) => VectorIndex.ivfSearch(s, d)),
@@ -340,6 +341,28 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_lsh" -> {
+      // sign-LSH band signatures replicated bit-for-bit: band b's sig is
+      // the 8 sign bits of coordinates [b*8, b*8+8) of the STORED float —
+      // integer-exact in both engines (DuckDB lists are 1-based).
+      val sigTerms = (1 to 8)
+        .map(k => s"(CASE WHEN embedding[band * 8 + $k] > 0 THEN ${1 << (k - 1)} ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH s AS (
+         |  SELECT vec_id, band,
+         |    $sigTerms AS sig
+         |  FROM embeddings, (SELECT unnest(range(8)) AS band)),
+         |c AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM s a JOIN s b2 ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id < b2.vec_id)
+         |SELECT c.id_a, c.id_b,
+         |  ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+         |FROM c
+         |JOIN embeddings ea ON ea.vec_id = c.id_a
+         |JOIN embeddings eb ON eb.vec_id = c.id_b
+         |WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  substring(hex(encode(text)), 1, 8) AS magic,

@@ -41,6 +41,34 @@ class TextDedupSpec extends SparkSpec {
       s"missed: ${truth.diff(cand)}")
   }
 
+  test("blocked embedding near-dup matches the naive all-pairs result, no BNLJ") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val naive = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .crossJoin(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.VectorFunctions.cosineSim(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+      .where(col("cos_sim") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blockedDf = Dedup.embeddingNearDup(spark, sfDir)
+    val blocked = blockedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty)
+    assert(blocked == naive, s"diff: ${blocked.diff(naive)} / ${naive.diff(blocked)}")
+    val plan = blockedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "exact near-dup must use an equi-join plan")
+  }
+
+  test("sign-LSH embedding near-dup returns a subset of the exact pairs, all verified") {
+    val exact = Dedup.embeddingNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val approx = Dedup.embeddingNearDupLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(approx.nonEmpty, "LSH candidates should surface at least some qualifying pairs")
+    assert(approx.subsetOf(exact), s"unverified pairs: ${approx.diff(exact)}")
+  }
+
   test("exact dedup keeps every distinct normalized text once") {
     val kept = Dedup.exact(spark, sfDir).collect()
     assert(kept.map(_.getString(1)).distinct.length == kept.length)
