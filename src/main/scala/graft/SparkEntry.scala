@@ -27,6 +27,7 @@ object SparkEntry {
       KnnSearch.topK(s, d, KnnSearch.Cosine,
         filter = Some(org.apache.spark.sql.functions.col("label") === 3))),
     "knn_threshold" -> ((s, d) => KnnSearch.aboveThreshold(s, d, 0.2)),
+    "knn_filtered_json" -> ((s, d) => KnnSearch.topKJsonFiltered(s, d)),
     "knn_cosine_norm" -> ((s, d) => KnnSearch.topKNormalized(s, d)),
     "knn_batch" -> ((s, d) => KnnSearch.batchTopK(s, d)),
     "vec_normalize" -> ((s, d) => KnnSearch.normalizedStore(s, d)),
@@ -40,6 +41,7 @@ object SparkEntry {
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "events_session_window" -> ((s, d) => Analytics.sessionWindow(s, d)),
+    "events_props_json" -> ((s, d) => Analytics.eventsPropsJson(s, d)),
     // --- text analysis (training-data pipeline) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -54,9 +56,12 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     // --- ANN index structures (rows-only oracles) ---
     "ivf_build" -> ((s, d) => VectorIndex.ivfBuild(s, d)),
-    "ivf_search" -> ((s, d) => VectorIndex.ivfSearch(s, d)),
+    "ivf_search" -> ((s, d) => VectorIndex.ivfSearchStore(s, d)),
+    "knn_filtered_ivf" -> ((s, d) =>
+      VectorIndex.ivfSearchStore(s, d,
+        filter = Some(org.apache.spark.sql.functions.col("label") === 3))),
     "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
-    "lsh_search" -> ((s, d) => VectorIndex.lshSearch(s, d)),
+    "lsh_search" -> ((s, d) => VectorIndex.lshSearchStore(s, d)),
     // --- multimodal (stubbed decode, real plumbing) ---
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
     // --- composed pipeline ---
@@ -105,6 +110,22 @@ object SparkEntry {
         |  WHERE e.vec_id <> 0)
         |WHERE score >= 0.2
         |ORDER BY score DESC, vec_id""".stripMargin,
+    "knn_filtered_json" ->
+      """SELECT e.vec_id, e.label, d.source,
+        |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+        |FROM embeddings e
+        |JOIN documents d ON e.vec_id = d.doc_id
+        |CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0 AND d.lang = 'en'
+        |ORDER BY score DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+    "events_props_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  ROUND(avg(k), 4) AS avg_k, ROUND(sum(value), 2) AS sum_value
+        |FROM (SELECT event_type, value, CAST(props->>'$.k' AS INTEGER) AS k
+        |      FROM events)
+        |WHERE k >= 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "knn_cosine_norm" ->
       """SELECT e.vec_id, e.label,
         |  ROUND(list_inner_product(

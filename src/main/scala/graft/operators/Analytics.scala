@@ -174,4 +174,21 @@ object Analytics {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** Semi-structured props: filter + aggregate on a JSON attribute of the
+    * event payload (`events.props` is a JSON string — the schema-on-read
+    * path). `get_json_object` runs inside the scan stage, so the predicate
+    * prunes rows before the shuffle; the parquet scan reads only the
+    * columns used (props, event_type, value). */
+  def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k",
+        get_json_object(col("props"), "$.k").cast("int"))
+      .where(col("k") >= 50)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg(col("k")), 4).as("avg_k"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
 }

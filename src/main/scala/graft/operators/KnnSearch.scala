@@ -170,6 +170,41 @@ object KnnSearch {
       .limit(k)
   }
 
+  /** Metadata-JSON-filtered search — the reference stores a metadata dict
+    * per document and filters on it (`doc.metadata`,
+    * /root/reference/app.py:131; langchain_ydb passes the filter into the
+    * store query). The store here carries the metadata as a JSON string
+    * column (built from the document attributes — in production this join
+    * happens once at store-build time over id-bucketed tables, not per
+    * query) and the search filters with `get_json_object` BEFORE scoring:
+    * the JSON parse and the predicate run inside the same codegen'd scan
+    * stage, so non-matching vectors are never scored. */
+  def topKJsonFiltered(
+      spark: SparkSession,
+      sfDir: String,
+      jsonPath: String = "$.lang",
+      value: String = "en",
+      k: Int = 10,
+      queryVecId: Long = 0L): DataFrame = {
+    val q = typedLit(queryVector(spark, sfDir, queryVecId))
+    val store = Tables.embeddings(spark, sfDir)
+      .join(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            to_json(struct(col("lang"), col("source"), col("n_chars")))
+              .as("metadata")),
+        col("vec_id") === col("doc_id"))
+    store
+      .where(col("vec_id") =!= queryVecId)
+      .where(get_json_object(col("metadata"), jsonPath) === value)
+      .select(
+        col("vec_id"), col("label"),
+        get_json_object(col("metadata"), "$.source").as("source"),
+        round(cosineSim(col("embedding"), q), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Store build (the reference's `add_texts` path): L2-normalized vectors +
     * norms, ready to write partitioned for cosine-as-dot search. */
   def normalizedStore(spark: SparkSession, sfDir: String): DataFrame =

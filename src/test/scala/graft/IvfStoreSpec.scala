@@ -30,4 +30,55 @@ class IvfStoreSpec extends SparkSpec {
     assert(common.nonEmpty)
     common.foreach { case (id, s) => assert(storedMap(id) == s) }
   }
+
+  test("lsh store search prunes bucket partitions and matches the inline probe") {
+    val stored = VectorIndex.lshSearchStore(spark, sfDir)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"bucket partition filter not pushed:\n$plan")
+    val inline = VectorIndex.lshSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val fromStore = stored.collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(fromStore == inline)
+  }
+
+  test("incremental upsert: appends resolve to the latest generation; compaction folds them") {
+    import org.apache.spark.sql.functions.{col, max}
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_upsert").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    val noSelf = Some(col("vec_id") =!= 0L)
+    val nBase = spark.read.parquet(s"$path/vectors").count()
+
+    // add a brand-new id whose embedding IS the query vector
+    val newId = 1000000L
+    VectorIndex.appendStore(spark, path,
+      Seq((newId, 9, qv.toSeq)).toDF("vec_id", "label", "embedding"), gen = 1L)
+    val top = VectorIndex.searchStore(spark, path, qv, k = 1, nprobe = 16, noSelf)
+      .collect()
+    assert(top.head.getLong(0) == newId && top.head.getDouble(3) == 1.0)
+
+    // update an existing id (vec 1 gets the query embedding, new label)
+    VectorIndex.appendStore(spark, path,
+      Seq((1L, 7, qv.toSeq)).toDF("vec_id", "label", "embedding"), gen = 2L)
+    val res = VectorIndex.searchStore(spark, path, qv, k = 3, nprobe = 16, noSelf)
+      .collect()
+    val v1 = res.find(_.getLong(0) == 1L).get
+    assert(v1.getInt(1) == 7 && v1.getDouble(3) == 1.0)
+    assert(res.map(_.getLong(0)).distinct.length == res.length)
+
+    // physical rows grew by the two appended rows; compaction folds the
+    // updated id back to one copy, all gen 0, with identical search results
+    assert(spark.read.parquet(s"$path/vectors").count() == nBase + 2)
+    VectorIndex.compactStore(spark, path)
+    val after = spark.read.parquet(s"$path/vectors")
+    assert(after.count() == nBase + 1)
+    assert(after.agg(max(col("gen"))).head.getLong(0) == 0L)
+    val res2 = VectorIndex.searchStore(spark, path, qv, k = 3, nprobe = 16, noSelf)
+      .collect()
+    assert(res2.map(r => (r.getLong(0), r.getDouble(3))).toSeq ==
+      res.map(r => (r.getLong(0), r.getDouble(3))).toSeq)
+  }
 }
