@@ -47,6 +47,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langid(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_featurize" -> ((s, d) => TextAnalysis.featurize(s, d)),
     // --- deduplication (training-data pipeline) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -292,6 +293,27 @@ object SparkEntry {
         |    [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(text, '.')]),
         |    (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_featurize" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+        |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS hv
+        |  FROM e),
+        |w AS (
+        |  SELECT doc_id, CAST(hv % 64 AS INTEGER) AS dim,
+        |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        |  FROM h GROUP BY 1, 2),
+        |n AS (
+        |  SELECT doc_id, sqrt(sum(CAST(weight AS DOUBLE) * weight)) AS nrm
+        |  FROM w GROUP BY 1)
+        |SELECT w.doc_id, w.dim, w.weight,
+        |  FLOOR((CASE WHEN nrm > 0 THEN weight / nrm ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS unit_weight
+        |FROM w JOIN n ON w.doc_id = n.doc_id
+        |ORDER BY w.doc_id, w.dim""".stripMargin,
     "pipeline_clean" ->
       """WITH base AS (
         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,

@@ -102,4 +102,38 @@ object TextAnalysis {
       col("doc_id"),
       TextFunctions.polyFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Hashing-trick text featurizer — the deterministic stand-in for the
+    * reference's query-embedding stage (app.py:118 embeds the query text
+    * before searching; an LLM featurizer is out of engine scope, a
+    * feature-hashing one is not). Each token's 61-bit polynomial hash
+    * picks a bucket (`hash mod dim`) and a ±1 sign (bit 6), signed counts
+    * sum per bucket, and the per-document L2 normalization makes the
+    * output directly consumable by the cosine search operators — closing
+    * the text → vector → search path inside the pipeline. Output is the
+    * sparse (doc_id, dim, weight, unit_weight) layout; integer weights
+    * keep the oracle comparison exact, and the normalized column uses the
+    * explicit-floor 4-dp rounding shared with the oracle.
+    *
+    * Scale shape: one codegen'd scan + explode, one partial-aggregated
+    * shuffle keyed by (doc_id, dim), and a doc-keyed window for the norm —
+    * the same key prefix, so no extra exchange. */
+  def featurize(spark: SparkSession, sfDir: String, dim: Int = 64): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+      .withColumn("h", TextFunctions.polyFingerprint(col("t")))
+      .groupBy(
+        col("doc_id"),
+        pmod(col("h"), lit(dim)).cast("int").as("dim"))
+      .agg(sum(when(expr(s"(h div $dim) % 2") === 0, 1).otherwise(-1))
+        .as("weight"))
+      .withColumn("nrm",
+        sqrt(sum(col("weight") * col("weight")).over(byDoc)))
+      .select(col("doc_id"), col("dim"), col("weight"),
+        round4(when(col("nrm") > 0, col("weight") / col("nrm")).otherwise(lit(0.0)))
+          .as("unit_weight"))
+      .orderBy("doc_id", "dim")
+  }
 }
