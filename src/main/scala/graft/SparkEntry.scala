@@ -65,6 +65,7 @@ object SparkEntry {
     "lsh_search" -> ((s, d) => VectorIndex.lshSearchStore(s, d)),
     // --- multimodal (stubbed decode, real plumbing) ---
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
+    "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
     // --- composed pipeline ---
     "pipeline_clean" -> ((s, d) => CleanCorpus.clean(s, d)),
   )
@@ -413,5 +414,16 @@ object SparkEntry {
         |  CAST(16 * (1 + (octet_length(encode(text)) // 64) % 64) AS INTEGER) AS height,
         |  CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST((n_bytes * 131 + frame_idx) % 256 AS INTEGER) AS brightness
+        |FROM (
+        |  SELECT DISTINCT doc_id, n_bytes, (j * frames) // 4 AS frame_idx
+        |  FROM (
+        |    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |      1 + octet_length(encode(text)) % 30 AS frames
+        |    FROM documents),
+        |    (SELECT unnest(range(4)) AS j))
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -72,4 +72,33 @@ object Multimodal {
     * is a pure function of the payload bytes. */
   def meta(spark: SparkSession, sfDir: String): DataFrame =
     decodeMeta(spark, sfDir).toDF().orderBy("doc_id")
+
+  /** One sampled video frame: index + a (stub) extracted scalar feature. */
+  case class FrameSample(doc_id: Long, frame_idx: Int, brightness: Int)
+
+  /** STUB FRAME EXTRACTOR — uniform sampling of up to `k` frame indices
+    * (`floor(j·frames/k)`, deduplicated for short clips) with a
+    * deterministic per-frame feature standing in for the pixel-level
+    * extraction a media library would do. Pure function of the decoded
+    * metadata, so the oracle reproduces it. */
+  def stubFrameBatch(batch: Array[MediaMeta], k: Int): Array[FrameSample] =
+    batch.flatMap { m =>
+      (0 until k).map(j => j * m.frames / k).distinct.map { idx =>
+        FrameSample(m.doc_id, idx, (m.n_bytes * 131 + idx) % 256)
+      }
+    }
+
+  /** `mm_frames` query: frame sampling as the second batched decode stage —
+    * decode metadata, then per-partition batched frame extraction (the
+    * row-expanding seam: output rows ≫ input rows, still map-only, no
+    * shuffle until the caller aggregates). */
+  def frames(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    decodeMeta(spark, sfDir)
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(g => stubFrameBatch(g.toArray, k))
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
 }

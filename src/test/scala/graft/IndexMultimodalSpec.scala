@@ -74,4 +74,19 @@ class IndexMultimodalSpec extends SparkSpec {
     assert(out.length == batch.length)
     assert(out.map(_.doc_id).toSeq == batch.map(_.doc_id).toSeq)
   }
+
+  test("frame sampling: uniform indices within range, deduped for short clips") {
+    val byDoc = Multimodal.frames(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    val frames = Multimodal.decodeMeta(spark, sfDir).collect()
+      .map(m => m.doc_id -> m.frames).toMap
+    assert(byDoc.keySet == frames.keySet)
+    byDoc.foreach { case (id, rows) =>
+      val idxs = rows.map(_._2).toSeq
+      assert(idxs.length == idxs.distinct.length)
+      assert(idxs.length <= 4 && idxs.nonEmpty)
+      assert(idxs.forall(i => i >= 0 && i < frames(id)))
+    }
+  }
 }
