@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming front gate of the corpus-cleaning pipeline: exact dedup over a
+  * document stream (the ingest-time twin of the batch `Dedup.exact`).
+  *
+  * Formulated as a streaming aggregation keyed by the normalized-text hash
+  * (`groupBy(text_md5).agg(min(doc_id), count)`), NOT `dropDuplicates`:
+  * the running `min` makes the result identical to the batch keep-set
+  * regardless of arrival order across micro-batches, which is what makes
+  * backfill (batch over history) and live ingest agree. State per executor
+  * is one (hash, min, count) row per DISTINCT document — O(corpus
+  * cardinality), the same footprint the batch hash-aggregate pays; a
+  * production ingest bounds it further with
+  * `dropDuplicatesWithinWatermark` on an arrival-time column when exact
+  * global dedup is relaxed to a horizon.
+  */
+object CorpusStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Shared dedup aggregation (batch parity comes from sharing this plan). */
+  def dedupAgg(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("text_md5"))
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("text_md5"), col("n_copies"))
+
+  /** Streaming exact dedup over a json file-source directory of
+    * (doc_id, text) documents. */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+    dedupAgg(
+      spark.readStream
+        .schema(docSchema)
+        .json(dir))
+}
