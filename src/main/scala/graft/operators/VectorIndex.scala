@@ -123,7 +123,7 @@ object VectorIndex {
     val centroids = trainCentroids(spark, sfDir)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), col("embedding"),
-        lit(0L).as("gen"),
+        lit(false).as("deleted"), lit(0L).as("gen"),
         IndexFunctions.nearestCentroid(col("embedding"), centroids)
           .getField("centroid_id").as("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
@@ -152,26 +152,48 @@ object VectorIndex {
     val centroids = readCentroids(spark, path)
     batch
       .select(col("vec_id"), col("label"), col("embedding"),
-        lit(gen).as("gen"),
+        lit(false).as("deleted"), lit(gen).as("gen"),
         IndexFunctions.nearestCentroid(col("embedding"), centroids)
           .getField("centroid_id").as("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/vectors")
   }
 
+  /** Tombstone delete (the reference store's `delete(ids)` surface): each
+    * physical copy of a deleted id gets a `deleted = true` row appended
+    * into ITS OWN partition at generation `gen` — co-locating the
+    * tombstone with every copy is what lets a partition-pruned read
+    * resolve deletions without consulting unprobed partitions. The target
+    * copies are found with a pushed-down `vec_id IN (...)` scan; nothing
+    * is rewritten until [[compactStore]]. */
+  def deleteFromStore(
+      spark: SparkSession,
+      path: String,
+      ids: Seq[Long],
+      gen: Long): Unit =
+    spark.read.parquet(s"$path/vectors")
+      .where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        lit(true).as("deleted"), lit(gen).as("gen"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/vectors")
+
   /** Fold all generations down to the latest version of every id and
-    * rewrite the store as gen 0 — the maintenance pass that restores
-    * dedup-free reads after a run of appends. One shuffle keyed by vec_id
-    * (the same work a read-side dedup pays, paid once instead of per
-    * query). */
+    * rewrite the store as gen 0, dropping ids whose latest version is a
+    * tombstone — the maintenance pass that restores dedup-free reads
+    * after a run of appends/deletes. One shuffle keyed by vec_id (the
+    * same work a read-side dedup pays, paid once instead of per query). */
   def compactStore(spark: SparkSession, path: String): Unit = {
     val latest = spark.read.parquet(s"$path/vectors")
       .groupBy(col("vec_id"))
       .agg(max_by(
-        struct(col("label"), col("embedding"), col("centroid_id")),
+        struct(col("label"), col("embedding"), col("centroid_id"),
+          col("deleted")),
         col("gen")).as("v"))
+      .where(!col("v.deleted"))
       .select(col("vec_id"), col("v.label").as("label"),
-        col("v.embedding").as("embedding"), lit(0L).as("gen"),
+        col("v.embedding").as("embedding"),
+        lit(false).as("deleted"), lit(0L).as("gen"),
         col("v.centroid_id").as("centroid_id"))
     // two-phase rewrite: parquet cannot overwrite a path it is reading
     latest.write.mode("overwrite").partitionBy("centroid_id")
@@ -217,8 +239,12 @@ object VectorIndex {
       queryVec: Array[Float],
       k: Int = 10,
       nprobe: Int = 4,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      strategy: KnnSearch.Strategy = KnnSearch.Cosine): DataFrame = {
     val centroids = readCentroids(spark, path)
+    // probe by L2 proximity to the centroids for every metric: exact for
+    // Euclidean, the standard surrogate for cosine/IP over this store
+    // (vectors are assigned to centroids by L2 at build time)
     val probed = centroids.zipWithIndex
       .map { case (c, i) =>
         var s = 0.0
@@ -230,18 +256,21 @@ object VectorIndex {
       }
       .sortBy { case (i, s) => (s, i) }
       .take(nprobe).map(_._1).toSeq
-    spark.read.parquet(s"$path/vectors")
+    val resolved = spark.read.parquet(s"$path/vectors")
       .where(col("centroid_id").isin(probed: _*))
       .where(filter.getOrElse(lit(true)))
       .groupBy(col("vec_id"))
       .agg(max_by(
-        struct(col("label"), col("embedding"), col("centroid_id")),
+        struct(col("label"), col("embedding"), col("centroid_id"),
+          col("deleted")),
         col("gen")).as("v"))
+      .where(!col("v.deleted"))
       .select(col("vec_id"), col("v.label").as("label"),
         col("v.centroid_id").as("centroid_id"),
-        round(VectorFunctions.cosineSim(col("v.embedding"), typedLit(queryVec)), 4)
+        round(strategy.score(col("v.embedding"), typedLit(queryVec)), 4)
           .as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
+    (if (strategy.descending) resolved.orderBy(col("score").desc, col("vec_id"))
+     else resolved.orderBy(col("score").asc, col("vec_id")))
       .limit(k)
   }
 

@@ -80,5 +80,23 @@ class IvfStoreSpec extends SparkSpec {
       .collect()
     assert(res2.map(r => (r.getLong(0), r.getDouble(3))).toSeq ==
       res.map(r => (r.getLong(0), r.getDouble(3))).toSeq)
+
+    // tombstone delete: the top hit disappears from search without a
+    // rewrite, a later re-add resurrects it, compaction drops tombstones
+    val victim = res2.head.getLong(0)
+    VectorIndex.deleteFromStore(spark, path, Seq(victim), gen = 3L)
+    val afterDel = VectorIndex.searchStore(spark, path, qv, k = 3, nprobe = 16, noSelf)
+      .collect().map(_.getLong(0))
+    assert(!afterDel.contains(victim))
+    VectorIndex.appendStore(spark, path,
+      Seq((victim, 5, qv.toSeq)).toDF("vec_id", "label", "embedding"), gen = 4L)
+    val afterReadd = VectorIndex.searchStore(spark, path, qv, k = 3, nprobe = 16, noSelf)
+      .collect()
+    assert(afterReadd.map(_.getLong(0)).contains(victim))
+    assert(afterReadd.find(_.getLong(0) == victim).get.getInt(1) == 5)
+    VectorIndex.compactStore(spark, path)
+    val vecs = spark.read.parquet(s"$path/vectors")
+    assert(vecs.where(col("deleted")).count() == 0)
+    assert(vecs.where(col("vec_id") === victim).count() == 1)
   }
 }
