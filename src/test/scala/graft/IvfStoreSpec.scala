@@ -31,6 +31,27 @@ class IvfStoreSpec extends SparkSpec {
     common.foreach { case (id, s) => assert(storedMap(id) == s) }
   }
 
+  test("MLlib-trained centroids drive the same partitioned store and pruned search") {
+    import org.apache.spark.sql.functions.col
+    val centers = VectorIndex.trainCentroidsML(spark, sfDir)
+    assert(centers.length == VectorIndex.K)
+    assert(centers.forall(_.length == 64))
+    val path = Files.createTempDirectory("ivf_store_ml").toString
+    VectorIndex.writeStore(spark, sfDir, path, Some(centers))
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    val res = VectorIndex.searchStore(spark, path, qv, k = 10, nprobe = 4)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"))
+    val rows = res.collect()
+    assert(rows.length == 10)
+    // pruned-search scores are the exact cosine scores for the ids returned
+    val exact = KnnSearch.topK(spark, sfDir, KnnSearch.Cosine, k = 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter(_.getLong(0) != 0L).foreach { r =>
+      assert(exact(r.getLong(0)) == r.getDouble(3))
+    }
+  }
+
   test("lsh store search prunes bucket partitions and matches the inline probe") {
     val stored = VectorIndex.lshSearchStore(spark, sfDir)
     val plan = stored.queryExecution.executedPlan.toString
