@@ -28,6 +28,7 @@ object SparkEntry {
         filter = Some(org.apache.spark.sql.functions.col("label") === 3))),
     "knn_threshold" -> ((s, d) => KnnSearch.aboveThreshold(s, d, 0.2)),
     "knn_filtered_json" -> ((s, d) => KnnSearch.topKJsonFiltered(s, d)),
+    "knn_mmr" -> ((s, d) => KnnSearch.mmrTopK(s, d)),
     "knn_cosine_norm" -> ((s, d) => KnnSearch.topKNormalized(s, d)),
     "knn_batch" -> ((s, d) => KnnSearch.batchTopK(s, d)),
     "vec_normalize" -> ((s, d) => KnnSearch.normalizedStore(s, d)),
@@ -48,6 +49,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextAnalysis.langid(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_featurize" -> ((s, d) => TextAnalysis.featurize(s, d)),
+    "text_search" -> ((s, d) => TextAnalysis.textSearch(s, d)),
     // --- deduplication (training-data pipeline) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -315,6 +317,34 @@ object SparkEntry {
         |  FLOOR((CASE WHEN nrm > 0 THEN weight / nrm ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS unit_weight
         |FROM w JOIN n ON w.doc_id = n.doc_id
         |ORDER BY w.doc_id, w.dim""".stripMargin,
+    "text_search" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+        |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS hv
+        |  FROM e),
+        |w AS (
+        |  SELECT doc_id, CAST(hv % 64 AS INTEGER) AS dim,
+        |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        |  FROM h GROUP BY 1, 2),
+        |q AS (SELECT dim, weight FROM w WHERE doc_id = 0),
+        |qn AS (SELECT CAST(sum(weight * weight) AS BIGINT) AS qnorm2 FROM q),
+        |s AS (
+        |  SELECT w.doc_id,
+        |    CAST(sum(CASE WHEN q.weight IS NULL THEN 0 ELSE w.weight * q.weight END) AS BIGINT) AS dot,
+        |    CAST(sum(w.weight * w.weight) AS BIGINT) AS norm2
+        |  FROM w LEFT JOIN q ON w.dim = q.dim
+        |  WHERE w.doc_id <> 0
+        |  GROUP BY 1)
+        |SELECT doc_id,
+        |  FLOOR(dot / sqrt(CAST(norm2 AS DOUBLE) * CAST((SELECT qnorm2 FROM qn) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS score
+        |FROM s
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin,
     "pipeline_clean" ->
       """WITH base AS (
         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,

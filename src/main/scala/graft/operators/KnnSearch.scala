@@ -205,6 +205,65 @@ object KnnSearch {
       .limit(k)
   }
 
+  /** Max-marginal-relevance search (langchain's
+    * `max_marginal_relevance_search` retriever mode): fetch the top
+    * `fetchK` candidates by exact cosine (distributed scan, same plan as
+    * [[topK]]), then greedily re-rank on the driver, each step picking the
+    * candidate maximizing
+    * `λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s)`.
+    *
+    * The re-rank is intentionally driver-side: it is a sequential greedy
+    * loop over fetchK ≤ ~100 rows of model-state size (the candidate set
+    * is a query parameter by then), not a data-scale operation — the
+    * distributed work is the candidate fetch. */
+  def mmrTopK(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      fetchK: Int = 50,
+      lambdaMult: Double = 0.5,
+      queryVecId: Long = 0L): DataFrame = {
+    val qv = queryVector(spark, sfDir, queryVecId).map(_.toDouble)
+    val q = typedLit(qv.map(_.toFloat))
+    val cand = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        round(cosineSim(col("embedding"), q), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(fetchK)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(_.toDouble), r.getDouble(3)))
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val remaining = scala.collection.mutable.LinkedHashSet(cand.indices: _*)
+    while (selected.length < math.min(k, cand.length) && remaining.nonEmpty) {
+      val best = remaining.maxBy { i =>
+        val rel = cand(i)._4
+        val div =
+          if (selected.isEmpty) 0.0
+          else selected.map(j => cos(cand(i)._3, cand(j)._3)).max
+        // ties resolved toward the smaller vec_id (maxBy keeps the first
+        // maximum; remaining iterates in candidate-rank order)
+        lambdaMult * rel - (1 - lambdaMult) * div
+      }
+      selected += best
+      remaining -= best
+    }
+
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case (i, rank) =>
+        (cand(i)._1, cand(i)._2, cand(i)._4, rank + 1) }
+      .toDF("vec_id", "label", "score", "mmr_rank")
+  }
+
   /** Store build (the reference's `add_texts` path): L2-normalized vectors +
     * norms, ready to write partitioned for cosine-as-dot search. */
   def normalizedStore(spark: SparkSession, sfDir: String): DataFrame =

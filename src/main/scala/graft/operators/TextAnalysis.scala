@@ -136,4 +136,42 @@ object TextAnalysis {
           .as("unit_weight"))
       .orderBy("doc_id", "dim")
   }
+
+  /** End-to-end text retrieval inside the pipeline: featurize the query
+    * text ([[featurize]]'s hashing-trick vector, stood in by document
+    * `queryDocId`'s features), then rank the corpus by cosine over the
+    * hashed feature space. The numeric core is EXACT-integer: raw signed
+    * bucket counts dot-multiply (no float order sensitivity), and the only
+    * float ops are one sqrt + one division per document from those exact
+    * integers — so the DuckDB oracle is bit-identical by construction.
+    *
+    * Scale shape: the query's sparse weights are a literal map broadcast
+    * in the task closure (query parameter, like the kNN query vector); the
+    * corpus side is the featurize aggregation followed by a per-doc dot —
+    * one keyed shuffle, no join against the query. */
+  def textSearch(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      queryDocId: Long = 0L,
+      dim: Int = 64): DataFrame = {
+    val w = featurize(spark, sfDir, dim)
+    val qRows = w.where(col("doc_id") === queryDocId)
+      .select(col("dim"), col("weight")).collect()
+    val qw: Map[Int, Long] = qRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val qNorm2: Long = qw.values.map(v => v * v).sum
+    val qwCol = typedLit(qw)
+    w.where(col("doc_id") =!= queryDocId)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("weight") * coalesce(element_at(qwCol, col("dim")), lit(0L)))
+          .as("dot"),
+        sum(col("weight") * col("weight")).as("norm2"))
+      .select(col("doc_id"),
+        round4(col("dot") /
+          sqrt(col("norm2").cast("double") * lit(qNorm2.toDouble)))
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -40,6 +40,23 @@ class KnnSearchSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("mmr re-rank: lambda=1 reduces to plain top-k; diversity changes the tail") {
+    val plain = KnnSearch.topK(spark, sfDir, KnnSearch.Cosine, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val relevanceOnly = KnnSearch.mmrTopK(spark, sfDir, k = 10, lambdaMult = 1.0)
+      .orderBy("mmr_rank").collect().map(_.getLong(0)).toSeq
+    assert(relevanceOnly == plain)
+    val mixed = KnnSearch.mmrTopK(spark, sfDir, k = 10, lambdaMult = 0.5)
+      .orderBy("mmr_rank").collect().map(_.getLong(0)).toSeq
+    assert(mixed.length == 10 && mixed.distinct.length == 10)
+    // the first pick is always the most relevant candidate
+    assert(mixed.head == plain.head)
+    // every pick comes from the fetchK candidate pool
+    val pool = KnnSearch.topK(spark, sfDir, KnnSearch.Cosine, k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(mixed.forall(pool.contains))
+  }
+
   test("batch knn returns k rows per query") {
     val got = KnnSearch.batchTopK(spark, sfDir, nQueries = 3, k = 4).collect()
     val perQuery = got.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
