@@ -60,9 +60,57 @@ case class PolyFingerprint(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+object TextOps {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  /** Dense hashing-trick accumulator: one O(tokens) imperative pass over
+    * the token hashes into `dim` (signed-count, touched-count) slots. The
+    * SQL-HOF formulation of this fold is O(tokens·dim) with a fresh
+    * dim-array allocation per token — this is the textbook case for a
+    * native expression on the hot path. */
+  def hashingFeaturize(hs: ArrayData, dim: Int): ArrayData = {
+    val w = new Array[Long](dim)
+    val n = new Array[Long](dim)
+    var i = 0
+    val m = hs.numElements()
+    while (i < m) {
+      val h = hs.getLong(i)
+      val d = (h % dim).toInt // poly hashes are nonnegative
+      if (((h / dim) & 1L) == 0L) w(d) += 1 else w(d) -= 1
+      n(d) += 1
+      i += 1
+    }
+    val out = new Array[Any](dim)
+    var j = 0
+    while (j < dim) { out(j) = InternalRow(w(j), n(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** hashing_featurize(hashes): dense array of (signed bucket count, touched
+  * count) pairs — the feature-hashing trick as a single codegen'd pass. */
+case class HashingFeaturize(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "hashing_featurize"
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w", LongType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    TextOps.hashingFeaturize(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextOps.hashingFeaturize($c, $dim)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object TextFunctions {
   import Bridge.{col, expr}
   def polyFingerprint(x: Column): Column = col(PolyFingerprint(expr(x)))
+  def hashingFeaturize(x: Column, dim: Int): Column =
+    col(HashingFeaturize(expr(x), dim))
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Bridge.register(spark, "poly_fingerprint", es => PolyFingerprint(es.head))
 }

@@ -118,24 +118,37 @@ object TextAnalysis {
     * Scale shape: one codegen'd scan + explode, one partial-aggregated
     * shuffle keyed by (doc_id, dim), and a doc-keyed window for the norm —
     * the same key prefix, so no extra exchange. */
-  def featurize(spark: SparkSession, sfDir: String, dim: Int = 64): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+  /** Per-document dense weight vector: each slot holds (signed count,
+    * touched-token count) accumulated by the native [[graft.functions
+    * .HashingFeaturize]] expression in one O(tokens) imperative pass —
+    * one codegen'd MAP-ONLY scan, no explode, no shuffle. This replaces
+    * the "explode tokens → groupBy (doc, dim)" formulation: the per-doc
+    * vector is bounded (dim slots), so accumulating it inside the row
+    * beats shuffling every token. (A SQL higher-order fold expresses the
+    * same thing but is O(tokens·dim) with an allocation per token —
+    * measured 2.5× slower than the shuffle it replaced, which is what
+    * justified the custom expression.) */
+  private def denseWeights(spark: SparkSession, sfDir: String, dim: Int): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
-      .withColumn("h", TextFunctions.polyFingerprint(col("t")))
-      .groupBy(
-        col("doc_id"),
-        pmod(col("h"), lit(dim)).cast("int").as("dim"))
-      .agg(sum(when(expr(s"(h div $dim) % 2") === 0, 1).otherwise(-1))
-        .as("weight"))
-      .withColumn("nrm",
-        sqrt(sum(col("weight") * col("weight")).over(byDoc)))
-      .select(col("doc_id"), col("dim"), col("weight"),
-        round4(when(col("nrm") > 0, col("weight") / col("nrm")).otherwise(lit(0.0)))
+        transform(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"),
+          t => TextFunctions.polyFingerprint(t)).as("hs"))
+      .select(col("doc_id"),
+        TextFunctions.hashingFeaturize(col("hs"), dim).as("ws"))
+
+  def featurize(spark: SparkSession, sfDir: String, dim: Int = 64): DataFrame =
+    denseWeights(spark, sfDir, dim)
+      .select(col("doc_id"),
+        expr("aggregate(ws, 0L, (s, x) -> s + x.w * x.w)").as("norm2"),
+        posexplode(col("ws")).as(Seq("dim", "s")))
+      .where(col("s.n") > 0)
+      .select(col("doc_id"), col("dim").cast("int").as("dim"),
+        col("s.w").as("weight"),
+        round4(when(col("norm2") > 0,
+          col("s.w") / sqrt(col("norm2").cast("double"))).otherwise(lit(0.0)))
           .as("unit_weight"))
       .orderBy("doc_id", "dim")
-  }
 
   /** End-to-end text retrieval inside the pipeline: featurize the query
     * text ([[featurize]]'s hashing-trick vector, stood in by document
@@ -155,18 +168,23 @@ object TextAnalysis {
       k: Int = 10,
       queryDocId: Long = 0L,
       dim: Int = 64): DataFrame = {
-    val w = featurize(spark, sfDir, dim)
-    val qRows = w.where(col("doc_id") === queryDocId)
-      .select(col("dim"), col("weight")).collect()
-    val qw: Map[Int, Long] = qRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val qNorm2: Long = qw.values.map(v => v * v).sum
-    val qwCol = typedLit(qw)
-    w.where(col("doc_id") =!= queryDocId)
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("weight") * coalesce(element_at(qwCol, col("dim")), lit(0L)))
+    val dense = denseWeights(spark, sfDir, dim)
+    val qDense: Array[Long] = dense.where(col("doc_id") === queryDocId)
+      .select(expr("transform(ws, x -> x.w)")).head()
+      .getSeq[Long](0).toArray
+    val qNorm2: Long = qDense.map(v => v * v).sum
+    val qv = typedLit(qDense)
+    // the whole search is one map-only scan + TakeOrderedAndProject: dense
+    // per-doc weights fold against the broadcast query vector (exact
+    // integer dot), no shuffle anywhere
+    dense
+      .where(col("doc_id") =!= queryDocId)
+      .withColumn("qv", qv)
+      .select(col("doc_id"),
+        expr("aggregate(zip_with(ws, qv, (x, q) -> x.w * q), 0L, (s, v) -> s + v)")
           .as("dot"),
-        sum(col("weight") * col("weight")).as("norm2"))
+        expr("aggregate(ws, 0L, (s, x) -> s + x.w * x.w)").as("norm2"))
+      .where(col("norm2") > 0)
       .select(col("doc_id"),
         round4(col("dot") /
           sqrt(col("norm2").cast("double") * lit(qNorm2.toDouble)))
