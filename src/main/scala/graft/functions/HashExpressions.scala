@@ -43,16 +43,70 @@ object MinHash {
     val n = shingles.numElements()
     while (i < n) {
       val base = Mersenne61.polyHash(shingles.getUTF8String(i))
-      var j = 0
-      while (j < NumPerms) {
-        var h = Mersenne61.mulmod(as(j), base) + bs(j)
-        if (h >= Mersenne61.P) h -= Mersenne61.P
-        if (h < sig(j)) sig(j) = h
-        j += 1
-      }
+      accumulate(sig, base)
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** Same signature over pre-hashed (61-bit) shingles — the path that
+    * never materializes shingle strings. */
+  def signatureFromHashes(hashes: ArrayData): ArrayData = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      accumulate(sig, hashes.getLong(i))
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  private def accumulate(sig: Array[Long], base: Long): Unit = {
+    var j = 0
+    while (j < NumPerms) {
+      var h = Mersenne61.mulmod(as(j), base) + bs(j)
+      if (h >= Mersenne61.P) h -= Mersenne61.P
+      if (h < sig(j)) sig(j) = h
+      j += 1
+    }
+  }
+}
+
+/** poly_combine(hashes, n): rolling n-gram combination of element hashes —
+  * out[i] = Mersenne61 polynomial fold of hashes[i..i+n-1]. Shingle keys
+  * computed directly from token hashes, so 5-gram shingle STRINGS are
+  * never built (equality of folds ≡ equality of token sequences up to a
+  * ~2⁻⁶¹ collision). */
+case class PolyCombine(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "poly_combine"
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    PolyCombine.combine(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyCombine.combine($c, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object PolyCombine {
+  def combine(hs: ArrayData, n: Int): ArrayData = {
+    val m = hs.numElements()
+    val out = new Array[Long](math.max(0, m - n + 1))
+    var i = 0
+    while (i < out.length) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        acc = Mersenne61.mulmod(acc, Mersenne61.B) + hs.getLong(i + j)
+        if (acc >= Mersenne61.P) acc -= Mersenne61.P
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -108,9 +162,24 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** minhash_sig over pre-hashed shingles (array<long> input). */
+case class MinHashSigHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "minhash_sig_hashes"
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    MinHash.signatureFromHashes(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash.signatureFromHashes($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object HashFunctions {
   import Bridge.{col, expr}
   def minhashSig(x: Column): Column = col(MinHashSig(expr(x)))
+  def minhashSigHashes(x: Column): Column = col(MinHashSigHashes(expr(x)))
+  def polyCombine(x: Column, n: Int): Column = col(PolyCombine(expr(x), n))
   def simhash64(x: Column): Column = col(SimHash64(expr(x)))
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.register(spark, "minhash_sig", es => MinHashSig(es.head))
