@@ -39,6 +39,13 @@ object GraftExtensions {
     ("l2_normalize", 1, es => L2Normalize(es.head)),
     ("poly_fingerprint", 1, es => PolyFingerprint(es.head)),
     ("minhash_sig", 1, es => MinHashSig(es.head)),
+    ("minhash_sig_hashes", 1, es => MinHashSigHashes(es.head)),
+    // int-literal parameters are folded at registration (they are plan
+    // constants, not data inputs)
+    ("poly_combine", 2,
+      es => PolyCombine(es(0), es(1).eval().asInstanceOf[Number].intValue())),
+    ("hashing_featurize", 2,
+      es => HashingFeaturize(es(0), es(1).eval().asInstanceOf[Number].intValue())),
     ("simhash64", 1, es => SimHash64(es.head)))
 
   /** Imperative registration into a live session (idempotent). */

@@ -25,10 +25,17 @@ class GraftExtensionsSpec extends SparkSpec {
         """SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
           |       l2_dist(array(0.0F, 0.0F), array(3.0F, 4.0F)) AS d,
           |       poly_fingerprint('ab') AS fp,
-          |       simhash64(array('a', 'b')) AS sh""".stripMargin).head()
+          |       simhash64(array('a', 'b')) AS sh,
+          |       poly_combine(array(7L, 9L), 2) AS pc,
+          |       hashing_featurize(array(5L), 4) AS hf""".stripMargin).head()
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(math.abs(r.getDouble(1) - 5.0) < 1e-12)
       assert(r.getLong(2) == 97L * 131L + 98L)
+      assert(r.getSeq[Long](4) == Seq(7L * 131L + 9L))
+      // hash 5 → slot 1 (5 % 4), sign from bit (5 / 4) & 1 = 1 → −1
+      val hf = r.getSeq[org.apache.spark.sql.Row](5)
+      assert(hf.length == 4)
+      assert(hf(1).getLong(0) == -1L && hf(1).getLong(1) == 1L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
