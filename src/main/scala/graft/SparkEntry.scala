@@ -68,6 +68,7 @@ object SparkEntry {
     // --- multimodal (stubbed decode, real plumbing) ---
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
+    "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
     // --- composed pipeline ---
     "pipeline_clean" -> ((s, d) => CleanCorpus.clean(s, d)),
   )
@@ -455,5 +456,20 @@ object SparkEntry {
         |    FROM documents),
         |    (SELECT unnest(range(4)) AS j))
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id, CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(greatest(1, width * scale_bp // 10000) AS INTEGER) AS target_w,
+        |  CAST(greatest(1, height * scale_bp // 10000) AS INTEGER) AS target_h,
+        |  CAST(scale_bp AS INTEGER) AS scale_pct
+        |FROM (
+        |  SELECT doc_id, width, height,
+        |    least(10000, 10000 * 224 // greatest(width, height)) AS scale_bp
+        |  FROM (
+        |    SELECT doc_id,
+        |      16 * (1 + octet_length(encode(text)) % 64) AS width,
+        |      16 * (1 + (octet_length(encode(text)) // 64) % 64) AS height
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -88,6 +88,42 @@ object Multimodal {
       }
     }
 
+  /** Resize plan for a decoded image: aspect-preserving fit into a target
+    * box (the standard vision-model preprocessing step). */
+  case class ResizePlan(
+      doc_id: Long, width: Int, height: Int,
+      target_w: Int, target_h: Int, scale_pct: Int)
+
+  /** STUB RESIZE PLANNER — computes the aspect-preserving target geometry
+    * for a `box`×`box` model input (the actual pixel resample is the media
+    * library's job; the geometry arithmetic, the part a pipeline audits,
+    * is exact and oracle-checkable). Integer math throughout: scale is
+    * expressed in basis points to stay exact. */
+  def stubResizeBatch(batch: Array[MediaMeta], box: Int): Array[ResizePlan] =
+    batch.map { m =>
+      // scale = box / max(w, h) in basis points, floor — never upscale
+      val scaleBp = math.min(10000L, 10000L * box / math.max(m.width, m.height))
+      ResizePlan(
+        doc_id = m.doc_id,
+        width = m.width,
+        height = m.height,
+        target_w = math.max(1, (m.width * scaleBp / 10000L).toInt),
+        target_h = math.max(1, (m.height * scaleBp / 10000L).toInt),
+        scale_pct = scaleBp.toInt)
+    }
+
+  /** `mm_resize` query: the resize stage of the media pipeline — batched,
+    * map-only, downstream of decode like [[frames]]. */
+  def resize(spark: SparkSession, sfDir: String, box: Int = 224): DataFrame = {
+    import spark.implicits._
+    decodeMeta(spark, sfDir)
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(g => stubResizeBatch(g.toArray, box))
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** `mm_frames` query: frame sampling as the second batched decode stage —
     * decode metadata, then per-partition batched frame extraction (the
     * row-expanding seam: output rows ≫ input rows, still map-only, no
