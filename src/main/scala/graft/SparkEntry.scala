@@ -29,6 +29,7 @@ object SparkEntry {
     "knn_threshold" -> ((s, d) => KnnSearch.aboveThreshold(s, d, 0.2)),
     "knn_filtered_json" -> ((s, d) => KnnSearch.topKJsonFiltered(s, d)),
     "knn_mmr" -> ((s, d) => KnnSearch.mmrTopK(s, d)),
+    "knn_quantized" -> ((s, d) => VectorIndex.quantizedSearch(s, d)),
     "knn_cosine_norm" -> ((s, d) => KnnSearch.topKNormalized(s, d)),
     "knn_batch" -> ((s, d) => KnnSearch.batchTopK(s, d)),
     "vec_normalize" -> ((s, d) => KnnSearch.normalizedStore(s, d)),
@@ -115,6 +116,17 @@ object SparkEntry {
         |  WHERE e.vec_id <> 0)
         |WHERE score >= 0.2
         |ORDER BY score DESC, vec_id""".stripMargin,
+    // the quantized search's acceptance property IS the exact result:
+    // recall@k = 1 after the exact re-rank, so the oracle is the plain
+    // exact top-k
+    "knn_quantized" ->
+      """SELECT e.vec_id, e.label,
+        |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+        |FROM embeddings e
+        |CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
     "knn_filtered_json" ->
       """SELECT e.vec_id, e.label, d.source,
         |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score

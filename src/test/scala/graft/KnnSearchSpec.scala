@@ -57,6 +57,14 @@ class KnnSearchSpec extends SparkSpec {
     assert(mixed.forall(pool.contains))
   }
 
+  test("int8-quantized search recovers the exact top-k after re-rank") {
+    val exact = KnnSearch.topK(spark, sfDir, graft.operators.KnnSearch.Cosine, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val quant = graft.operators.VectorIndex.quantizedSearch(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(quant == exact)
+  }
+
   test("batch knn returns k rows per query") {
     val got = KnnSearch.batchTopK(spark, sfDir, nQueries = 3, k = 4).collect()
     val perQuery = got.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
