@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.operators.VectorIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Streaming ingest into the materialized IVF store — the live
+  * `add_texts` path: each micro-batch of new/updated vectors is upserted
+  * through [[VectorIndex.appendStore]] as its own generation.
+  *
+  * `foreachBatch` (not a direct file sink) is deliberate: a parquet file
+  * sink would write a `_spark_metadata` log that SHADOWS the store's
+  * batch-written base files for any batch reader of the same directory;
+  * routing the micro-batch through the batch upsert keeps one write path,
+  * one layout, and exactly-once-per-generation semantics (the batch id is
+  * the generation offset, so a replayed micro-batch overwrites itself
+  * idempotently at read time via the max-gen resolution). */
+object StoreStream {
+
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("label", IntegerType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  def ingest(
+      spark: SparkSession,
+      dir: String,
+      storePath: String,
+      startGen: Long): StreamingQuery =
+    spark.readStream
+      .schema(vecSchema)
+      .json(dir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        VectorIndex.appendStore(
+          batch.sparkSession, storePath, batch, startGen + batchId)
+      }
+      .start()
+}

@@ -52,6 +52,29 @@ class IvfStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest upserts micro-batches into the store as generations") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_stream_store").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+
+    val dir = Files.createTempDirectory("vec_stream").toString
+    Seq((2000000L, 8, qv.toSeq), (2000001L, 9, qv.toSeq))
+      .toDF("vec_id", "label", "embedding")
+      .repartition(2)
+      .write.mode("overwrite").json(dir)
+
+    val q = graft.streaming.StoreStream.ingest(spark, dir, path, startGen = 1L)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val top = VectorIndex.searchStore(spark, path, qv, k = 2, nprobe = 16,
+      Some(col("vec_id") =!= 0L)).collect()
+    assert(top.map(_.getLong(0)).toSet == Set(2000000L, 2000001L))
+    assert(top.forall(_.getDouble(3) == 1.0))
+  }
+
   test("lsh store search prunes bucket partitions and matches the inline probe") {
     val stored = VectorIndex.lshSearchStore(spark, sfDir)
     val plan = stored.queryExecution.executedPlan.toString
