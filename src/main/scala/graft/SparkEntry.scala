@@ -35,6 +35,7 @@ object SparkEntry {
     "vec_normalize" -> ((s, d) => KnnSearch.normalizedStore(s, d)),
     "store_stats" -> ((s, d) => KnnSearch.storeStats(s, d)),
     "rag_context" -> ((s, d) => RagContext.context(s, d)),
+    "rag_text" -> ((s, d) => RagContext.contextFromText(s, d)),
     // --- relational analytics ---
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_join" -> ((s, d) => Analytics.q3(s, d)),
@@ -73,6 +74,32 @@ object SparkEntry {
     // --- composed pipeline ---
     "pipeline_clean" -> ((s, d) => CleanCorpus.clean(s, d)),
   )
+
+  /** Shared CTE chain of the text_search oracle (hash → weights → exact
+    * integer dot), reused by the rag_text composition. */
+  private val textSearchCtes: String =
+    """e AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+      |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS hv
+      |  FROM e),
+      |w AS (
+      |  SELECT doc_id, CAST(hv % 64 AS INTEGER) AS dim,
+      |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+      |  FROM h GROUP BY 1, 2),
+      |q AS (SELECT dim, weight FROM w WHERE doc_id = 0),
+      |qn AS (SELECT CAST(sum(weight * weight) AS BIGINT) AS qnorm2 FROM q),
+      |s AS (
+      |  SELECT w.doc_id,
+      |    CAST(sum(CASE WHEN q.weight IS NULL THEN 0 ELSE w.weight * q.weight END) AS BIGINT) AS dot,
+      |    CAST(sum(w.weight * w.weight) AS BIGINT) AS norm2
+      |  FROM w LEFT JOIN q ON w.dim = q.dim
+      |  WHERE w.doc_id <> 0
+      |  GROUP BY 1)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "knn_cosine" ->
@@ -331,33 +358,24 @@ object SparkEntry {
         |FROM w JOIN n ON w.doc_id = n.doc_id
         |ORDER BY w.doc_id, w.dim""".stripMargin,
     "text_search" ->
-      """WITH e AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
-        |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
-        |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS hv
-        |  FROM e),
-        |w AS (
-        |  SELECT doc_id, CAST(hv % 64 AS INTEGER) AS dim,
-        |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
-        |  FROM h GROUP BY 1, 2),
-        |q AS (SELECT dim, weight FROM w WHERE doc_id = 0),
-        |qn AS (SELECT CAST(sum(weight * weight) AS BIGINT) AS qnorm2 FROM q),
-        |s AS (
-        |  SELECT w.doc_id,
-        |    CAST(sum(CASE WHEN q.weight IS NULL THEN 0 ELSE w.weight * q.weight END) AS BIGINT) AS dot,
-        |    CAST(sum(w.weight * w.weight) AS BIGINT) AS norm2
-        |  FROM w LEFT JOIN q ON w.dim = q.dim
-        |  WHERE w.doc_id <> 0
-        |  GROUP BY 1)
-        |SELECT doc_id,
-        |  FLOOR(dot / sqrt(CAST(norm2 AS DOUBLE) * CAST((SELECT qnorm2 FROM qn) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS score
-        |FROM s
-        |ORDER BY score DESC, doc_id
-        |LIMIT 10""".stripMargin,
+      (s"WITH $textSearchCtes\n" +
+        """SELECT doc_id,
+          |  FLOOR(dot / sqrt(CAST(norm2 AS DOUBLE) * CAST((SELECT qnorm2 FROM qn) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS score
+          |FROM s
+          |ORDER BY score DESC, doc_id
+          |LIMIT 10""".stripMargin),
+    "rag_text" ->
+      (s"WITH $textSearchCtes,\n" +
+        """top AS (
+          |  SELECT doc_id,
+          |    FLOOR(dot / sqrt(CAST(norm2 AS DOUBLE) * CAST((SELECT qnorm2 FROM qn) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS score
+          |  FROM s
+          |  ORDER BY score DESC, doc_id
+          |  LIMIT 3)
+          |SELECT 0 AS query_id, count(*) AS n_docs,
+          |  string_agg(d.text, '""".stripMargin + "\n\n" +
+        """' ORDER BY t.score DESC, t.doc_id) AS context
+          |FROM top t JOIN documents d ON d.doc_id = t.doc_id""".stripMargin),
     "pipeline_clean" ->
       """WITH base AS (
         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,

@@ -14,21 +14,33 @@ import org.apache.spark.sql.functions._
   * join; the concat is a single-group aggregate over k rows.
   */
 object RagContext {
-  def context(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val top = KnnSearch.topK(spark, sfDir, KnnSearch.Cosine, k = k)
+  def context(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    assemble(spark, sfDir,
+      KnnSearch.topK(spark, sfDir, KnnSearch.Cosine, k = k)
+        .select(col("vec_id").as("doc_id"), col("score")))
+
+  /** End-to-end in-pipeline variant: retrieval by the hashing-trick text
+    * featurizer ([[TextAnalysis.textSearch]]) instead of the stored
+    * embeddings — the full text → vector → search → context path with no
+    * external embedder. */
+  def contextFromText(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    assemble(spark, sfDir, TextAnalysis.textSearch(spark, sfDir, k = k))
+
+  private def assemble(
+      spark: SparkSession, sfDir: String, top: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     broadcast(top)
-      .join(docs, top("vec_id") === docs("doc_id"))
-      .select(col("vec_id"), col("score"), col("text"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("score"), col("text"))
       .groupBy(lit(0).as("query_id"))
       .agg(
         count(lit(1)).as("n_docs"),
         array_join(
           transform(
-            // sort by (-score, vec_id) = best-first, deterministic on ties
+            // sort by (-score, doc_id) = best-first, deterministic on ties
             array_sort(collect_list(struct(
               (-col("score")).as("neg_score"),
-              col("vec_id").as("vid"),
+              col("doc_id").as("vid"),
               col("text").as("text")))),
             x => x.getField("text")),
           "\n\n").as("context"))
