@@ -45,6 +45,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "events_session_window" -> ((s, d) => Analytics.sessionWindow(s, d)),
     "events_props_json" -> ((s, d) => Analytics.eventsPropsJson(s, d)),
+    "events_rolling" -> ((s, d) => Analytics.eventsRolling(s, d)),
     // --- text analysis (training-data pipeline) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -163,6 +164,14 @@ object SparkEntry {
         |WHERE e.vec_id <> 0 AND d.lang = 'en'
         |ORDER BY score DESC, e.vec_id
         |LIMIT 10""".stripMargin,
+    "events_rolling" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  ROUND(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS roll_sum,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_window
+        |FROM events
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "events_props_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  ROUND(avg(k), 4) AS avg_k, ROUND(sum(value), 2) AS sum_value

@@ -175,6 +175,26 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Rolling per-user window frame: moving sum/count of the last 5 events
+    * (ROWS frame — deterministic row membership via the (ts, event_id)
+    * tiebreak, unlike a RANGE frame on a float). One shuffle keyed by
+    * user_id; frames never cross users, so state per task is the frame
+    * width. Safe for 2-dp rounding parity: `value` carries 2-dp decimals,
+    * so frame sums land on 2-dp decimals and never sit on a rounding
+    * boundary. */
+  def eventsRolling(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    Tables.events(spark, sfDir)
+      .select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(sum(col("value")).over(w), 2).as("roll_sum"),
+        count(lit(1)).over(w).as("n_window"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   /** Semi-structured props: filter + aggregate on a JSON attribute of the
     * event payload (`events.props` is a JSON string — the schema-on-read
     * path). `get_json_object` runs inside the scan stage, so the predicate
