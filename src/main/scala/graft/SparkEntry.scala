@@ -174,7 +174,8 @@ object SparkEntry {
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "events_props_json" ->
       """SELECT event_type, count(*) AS n_events,
-        |  ROUND(avg(k), 4) AS avg_k, ROUND(sum(value), 2) AS sum_value
+        |  FLOOR(avg(k) * 10000 + 0.5) / 10000.0 AS avg_k,
+        |  ROUND(sum(value), 2) AS sum_value
         |FROM (SELECT event_type, value, CAST(props->>'$.k' AS INTEGER) AS k
         |      FROM events)
         |WHERE k >= 50
@@ -413,10 +414,14 @@ object SparkEntry {
         |        FROM documents)
         |  WHERE len(s) >= 5),
         |e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+        |cap AS (
+        |  SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= 1000),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
         |    count(*) AS common
-        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM e a
+        |  JOIN cap ON cap.shingle = a.shingle
+        |  JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4),
         |dups AS (
         |  SELECT DISTINCT doc_b FROM p
@@ -440,10 +445,14 @@ object SparkEntry {
         |        FROM documents)
         |  WHERE len(s) >= 5),
         |e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+        |cap AS (
+        |  SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= 1000),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
         |    count(*) AS common
-        |  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM e a
+        |  JOIN cap ON cap.shingle = a.shingle
+        |  JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4)
         |SELECT doc_a, doc_b,
         |  ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) AS jaccard
@@ -466,9 +475,13 @@ object SparkEntry {
          |  SELECT vec_id, band,
          |    $sigTerms AS sig
          |  FROM embeddings, (SELECT unnest(range(8)) AS band)),
+         |bs AS (
+         |  SELECT band, sig FROM s GROUP BY band, sig HAVING count(*) <= 1000),
          |c AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-         |  FROM s a JOIN s b2 ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id < b2.vec_id)
+         |  FROM s a
+         |  JOIN bs ON bs.band = a.band AND bs.sig = a.sig
+         |  JOIN s b2 ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id < b2.vec_id)
          |SELECT c.id_a, c.id_b,
          |  ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
          |FROM c

@@ -208,7 +208,10 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(avg(col("k")), 4).as("avg_k"),
+        // explicit-floor 4dp form: avg is an unconstrained rational, so
+        // round() carries the Spark-BigDecimal vs DuckDB-binary-double
+        // half-boundary parity risk text_quality hit
+        TextAnalysis.round4(avg(col("k"))).as("avg_k"),
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("event_type"))
 }

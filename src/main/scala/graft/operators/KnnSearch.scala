@@ -109,12 +109,29 @@ object KnnSearch {
     * single shuffle keyed by query_id carrying (id, score) pairs — at scale,
     * `nQueries × corpusRows` scored rows reduce to `nQueries × k` out.
     */
+  /** Per-query top-k tail over scored (query_id, vec_id, score) rows via
+    * the TopKAgg partial aggregate: the shuffle after scoring carries k
+    * rows per query, not nQueries × corpus. Shared verbatim by the batch
+    * query below and the streaming `SearchStream` (which is what makes
+    * their results provably identical). */
+  def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKAgg.topkAgg
+    scored
+      .groupBy(col("query_id"))
+      .agg(topkAgg(-col("score"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(
+        col("query_id"),
+        col("p.id").as("vec_id"),
+        (-col("p.ord")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   def batchTopK(
       spark: SparkSession,
       sfDir: String,
       nQueries: Int = 5,
       k: Int = 5): DataFrame = {
-    import graft.functions.TopKAgg.topkAgg
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb
       .where(col("vec_id") < nQueries)
@@ -126,17 +143,7 @@ object KnnSearch {
         col("query_id"),
         col("vec_id"),
         round(cosineSim(col("embedding"), col("query_vec")), 4).as("score"))
-    // per-query top-k via the TopKAgg partial aggregate: the shuffle after
-    // scoring carries k rows per query, not nQueries × corpus
-    scored
-      .groupBy(col("query_id"))
-      .agg(topkAgg(-col("score"), col("vec_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(
-        col("query_id"),
-        col("p.id").as("vec_id"),
-        (-col("p.ord")).as("score"),
-        (col("pos") + 1).cast("int").as("rank"))
+    perQueryTopK(scored, k)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -174,11 +174,24 @@ object VectorIndex {
       batch: DataFrame,
       gen: Long): Unit = {
     val centroids = readCentroids(spark, path)
+    // STICKY placement for existing ids: an update lands in the partition
+    // its previous versions live in, so a pruned read that sees any copy
+    // of an id sees its newest copy — re-assigning a moved embedding to a
+    // different centroid would let a search that probes only the old
+    // partition resurrect the stale version. New ids get nearest-centroid
+    // placement; compactStore re-assigns everything to the current
+    // nearest centroid once the old copies are folded away.
+    val existing = spark.read.parquet(s"$path/vectors")
+      .groupBy(col("vec_id"))
+      .agg(max(col("centroid_id")).as("sticky_cid"))
     batch
+      .join(existing, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"), col("embedding"),
         lit(false).as("deleted"), lit(gen).as("gen"),
-        IndexFunctions.nearestCentroid(col("embedding"), centroids)
-          .getField("centroid_id").as("centroid_id"))
+        coalesce(
+          col("sticky_cid"),
+          IndexFunctions.nearestCentroid(col("embedding"), centroids)
+            .getField("centroid_id")).as("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/vectors")
   }
@@ -208,17 +221,24 @@ object VectorIndex {
     * after a run of appends/deletes. One shuffle keyed by vec_id (the
     * same work a read-side dedup pays, paid once instead of per query). */
   def compactStore(spark: SparkSession, path: String): Unit = {
+    val centroids = readCentroids(spark, path)
     val latest = spark.read.parquet(s"$path/vectors")
       .groupBy(col("vec_id"))
       .agg(max_by(
         struct(col("label"), col("embedding"), col("centroid_id"),
           col("deleted")),
-        col("gen")).as("v"))
+        // tie-break: same generation prefers the live row over a tombstone
+        struct(col("gen"), !col("deleted"))).as("v"))
       .where(!col("v.deleted"))
+      // re-assign to the CURRENT nearest centroid: appendStore keeps
+      // updated ids sticky in their old partition for pruned-read
+      // correctness; compaction is where placement catches up with the
+      // embedding (the old copies are folded away here, so moving is safe)
       .select(col("vec_id"), col("v.label").as("label"),
         col("v.embedding").as("embedding"),
         lit(false).as("deleted"), lit(0L).as("gen"),
-        col("v.centroid_id").as("centroid_id"))
+        IndexFunctions.nearestCentroid(col("v.embedding"), centroids)
+          .getField("centroid_id").as("centroid_id"))
     // two-phase rewrite: parquet cannot overwrite a path it is reading
     latest.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/vectors_compact")
@@ -251,12 +271,14 @@ object VectorIndex {
   /** Search a materialized IVF store. The `centroid_id IN (...)` predicate
     * is a partition filter on the written layout: Spark's file index prunes
     * the non-probed directories before any IO — the scan reads nprobe/k of
-    * the data, which is the point of the index. `filter` composes a
-    * metadata predicate INTO the pruned scan (the reference's
-    * filter-with-index-enabled search): row-group stats push it down, and
-    * it never widens the partitions read. Ids touched by [[appendStore]]
-    * resolve to their highest generation before scoring — a shuffle of
-    * only the pruned subset, eliminated again by [[compactStore]]. */
+    * the data, which is the point of the index. Ids touched by
+    * [[appendStore]] resolve to their highest generation before scoring —
+    * a shuffle of only the pruned subset, eliminated again by
+    * [[compactStore]]. The metadata `filter` (the reference's
+    * filter-with-index-enabled search) applies AFTER that resolution so a
+    * superseded generation can never satisfy the predicate on stale
+    * attributes; on a compacted (single-gen) store the resolution is a
+    * no-op and Catalyst is free to push the predicate into the scan. */
   def searchStore(
       spark: SparkSession,
       path: String,
@@ -280,18 +302,24 @@ object VectorIndex {
       }
       .sortBy { case (i, s) => (s, i) }
       .take(nprobe).map(_._1).toSeq
+    // the metadata filter applies AFTER generation resolution: filtering
+    // raw rows first would let a superseded generation that still matches
+    // the predicate win max_by and resurrect stale attributes (e.g. an
+    // update that changed the filtered label)
     val resolved = spark.read.parquet(s"$path/vectors")
       .where(col("centroid_id").isin(probed: _*))
-      .where(filter.getOrElse(lit(true)))
       .groupBy(col("vec_id"))
       .agg(max_by(
         struct(col("label"), col("embedding"), col("centroid_id"),
           col("deleted")),
-        col("gen")).as("v"))
+        // tie-break: same generation prefers the live row over a tombstone
+        struct(col("gen"), !col("deleted"))).as("v"))
       .where(!col("v.deleted"))
       .select(col("vec_id"), col("v.label").as("label"),
-        col("v.centroid_id").as("centroid_id"),
-        round(strategy.score(col("v.embedding"), typedLit(queryVec)), 4)
+        col("v.centroid_id").as("centroid_id"), col("v.embedding").as("embedding"))
+      .where(filter.getOrElse(lit(true)))
+      .select(col("vec_id"), col("label"), col("centroid_id"),
+        round(strategy.score(col("embedding"), typedLit(queryVec)), 4)
           .as("score"))
     (if (strategy.descending) resolved.orderBy(col("score").desc, col("vec_id"))
      else resolved.orderBy(col("score").asc, col("vec_id")))

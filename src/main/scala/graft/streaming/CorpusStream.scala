@@ -24,20 +24,11 @@ object CorpusStream {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
-  /** Shared dedup aggregation (batch parity comes from sharing this plan). */
-  def dedupAgg(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-          .as("text_md5"))
-      .groupBy(col("text_md5"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("text_md5"), col("n_copies"))
-
   /** Streaming exact dedup over a json file-source directory of
-    * (doc_id, text) documents. */
+    * (doc_id, text) documents — literally the batch plan
+    * ([[graft.operators.Dedup.exactAgg]]) over a streaming source. */
   def dedupStream(spark: SparkSession, dir: String): DataFrame =
-    dedupAgg(
+    graft.operators.Dedup.exactAgg(
       spark.readStream
         .schema(docSchema)
         .json(dir))

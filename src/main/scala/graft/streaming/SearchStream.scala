@@ -23,21 +23,6 @@ object SearchStream {
     StructField("query_id", LongType),
     StructField("query_vec", ArrayType(FloatType))))
 
-  /** Shared scoring + top-k aggregation (batch parity comes from sharing
-    * this plan with `KnnSearch.batchTopK`'s tail). */
-  def perQueryTopK(scored: DataFrame, k: Int): DataFrame = {
-    scored
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAgg.topkAgg(-col("score"), col("vec_id"), k)
-        .as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(
-        col("query_id"),
-        col("p.id").as("vec_id"),
-        (-col("p.ord")).as("score"),
-        (col("pos") + 1).cast("int").as("rank"))
-  }
-
   /** File-source stream of query vectors, joined against the static store
     * (vec_id ≥ `minCorpusId` mirrors the batch query/corpus split). */
   def stream(
@@ -58,6 +43,6 @@ object SearchStream {
         col("vec_id"),
         round(VectorFunctions.cosineSim(col("embedding"), col("query_vec")), 4)
           .as("score"))
-    perQueryTopK(scored, k)
+    graft.operators.KnnSearch.perQueryTopK(scored, k)
   }
 }

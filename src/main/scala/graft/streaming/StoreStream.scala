@@ -24,15 +24,21 @@ object StoreStream {
     StructField("label", IntegerType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** `checkpointDir` is required for the idempotence claim above: without
+    * a durable checkpoint a restarted stream re-lists the source from
+    * scratch with batch ids reset to 0, re-appending old data at fresh
+    * generations. */
   def ingest(
       spark: SparkSession,
       dir: String,
       storePath: String,
-      startGen: Long): StreamingQuery =
+      startGen: Long,
+      checkpointDir: String): StreamingQuery =
     spark.readStream
       .schema(vecSchema)
       .json(dir)
       .writeStream
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         VectorIndex.appendStore(
           batch.sparkSession, storePath, batch, startGen + batchId)

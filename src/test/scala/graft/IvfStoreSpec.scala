@@ -52,6 +52,29 @@ class IvfStoreSpec extends SparkSpec {
     }
   }
 
+  test("filtered store search cannot resurrect a superseded generation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_filter_gen").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    // take a stored vector with label 3 and update its label to 9
+    val victimRow = spark.read.parquet(s"$path/vectors")
+      .where(col("label") === 3).orderBy("vec_id").head()
+    val victim = victimRow.getLong(0)
+    val vEmb = victimRow.getSeq[Float](victimRow.fieldIndex("embedding"))
+    VectorIndex.appendStore(spark, path,
+      Seq((victim, 9, vEmb)).toDF("vec_id", "label", "embedding"), gen = 1L)
+    // a label=3 filter must NOT return the superseded generation of victim
+    val with3 = VectorIndex.searchStore(spark, path, qv, k = 500, nprobe = 16,
+      Some(col("label") === 3)).collect().map(_.getLong(0))
+    assert(!with3.contains(victim))
+    // and the live version is visible under its new label
+    val with9 = VectorIndex.searchStore(spark, path, qv, k = 500, nprobe = 16,
+      Some(col("label") === 9)).collect().map(_.getLong(0))
+    assert(with9.contains(victim))
+  }
+
   test("streaming ingest upserts micro-batches into the store as generations") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -65,7 +88,8 @@ class IvfStoreSpec extends SparkSpec {
       .repartition(2)
       .write.mode("overwrite").json(dir)
 
-    val q = graft.streaming.StoreStream.ingest(spark, dir, path, startGen = 1L)
+    val q = graft.streaming.StoreStream.ingest(spark, dir, path, startGen = 1L,
+      checkpointDir = Files.createTempDirectory("vec_stream_ckpt").toString)
     try q.processAllAvailable()
     finally q.stop()
 
