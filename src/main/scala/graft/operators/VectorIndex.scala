@@ -181,7 +181,12 @@ object VectorIndex {
     // partition resurrect the stale version. New ids get nearest-centroid
     // placement; compactStore re-assigns everything to the current
     // nearest centroid once the old copies are folded away.
+    // semi-join down to the batch's ids before aggregating: the store scan
+    // reads only (vec_id, centroid_id) and the shuffle carries matching
+    // rows, not the whole store's id map
     val existing = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("centroid_id"))
+      .join(batch.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
       .groupBy(col("vec_id"))
       .agg(max(col("centroid_id")).as("sticky_cid"))
     batch
