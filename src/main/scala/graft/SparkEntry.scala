@@ -48,6 +48,7 @@ object SparkEntry {
     "events_rolling" -> ((s, d) => Analytics.eventsRolling(s, d)),
     // --- text analysis (training-data pipeline) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
+    "text_tokens_bpe" -> ((s, d) => TextAnalysis.tokensBpe(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langid(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -308,6 +309,11 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_tokens,
         |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS INTEGER) AS n_uniq_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+|[ ]+')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+|[ ]+'))) AS INTEGER) AS n_uniq_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,

@@ -27,6 +27,27 @@ object TextAnalysis {
         .as("n_uniq_tokens"))
       .orderBy("doc_id")
 
+  /** GPT-2-style pre-tokenization pattern, restricted to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+    * lookarounds, leftmost-first alternation — contractions, optionally
+    * space-prefixed letter/digit/punctuation runs, whitespace runs. */
+  private val bpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9']+|[ ]+"
+
+  /** BPE-ish token statistics: counts under the GPT-2-style pre-tokenizer —
+    * the `n_tokens ≈ LLM cost` estimate a training-data pipeline budgets
+    * with (an actual BPE merge table is model-specific; the pre-tokenizer
+    * split is the deterministic, model-free part). Map-only scan. */
+  def tokensBpe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0)))
+        .as("n_bpe_tokens"),
+      size(array_distinct(
+        regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0))))
+        .as("n_uniq_bpe_tokens"))
+      .orderBy("doc_id")
+
   private val stopwords =
     Seq("the", "a", "and", "of", "to", "in", "is", "it")
   private def stopwordSql =
