@@ -25,6 +25,42 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("poly_combine matches a BigInt reference fold over every window") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val p = BigInt(Mersenne61.P)
+    // deterministic pseudo-random 61-bit inputs
+    val hs = Array.iterate(12345L, 40)(x => (x * 6364136223846793005L + 1442695040888963407L) >>> 3)
+      .map(_ % Mersenne61.P)
+    val n = 5
+    val got = graft.functions.PolyCombine.combine(new GenericArrayData(hs), n)
+    assert(got.numElements() == hs.length - n + 1)
+    (0 until got.numElements()).foreach { i =>
+      val expected = hs.slice(i, i + n).foldLeft(BigInt(0))((acc, h) =>
+        (acc * Mersenne61.B + h) % p)
+      assert(BigInt(got.getLong(i)) == expected, s"window $i")
+    }
+  }
+
+  test("hashing featurize matches a naive per-slot reference") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dim = 64
+    val hs = Array.iterate(999L, 300)(x => (x * 2862933555777941757L + 3037000493L) >>> 2)
+      .map(_ % Mersenne61.P)
+    val got = graft.functions.TextOps.hashingFeaturize(new GenericArrayData(hs), dim)
+    val w = new Array[Long](dim)
+    val n = new Array[Long](dim)
+    hs.foreach { h =>
+      val d = (h % dim).toInt
+      if (((h / dim) % 2) == 0) w(d) += 1 else w(d) -= 1
+      n(d) += 1
+    }
+    assert(got.numElements() == dim)
+    (0 until dim).foreach { i =>
+      val row = got.getStruct(i, 2)
+      assert(row.getLong(0) == w(i) && row.getLong(1) == n(i), s"slot $i")
+    }
+  }
+
   test("langid covers every document with a deterministic prediction") {
     val rows = TextAnalysis.langid(spark, sfDir).collect()
     assert(rows.length == 500)
