@@ -464,6 +464,102 @@ object SparkEntry {
         |  ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) AS jaccard
         |FROM p WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // simhash is a deterministic integer pipeline (Mersenne-61 poly hashes,
+    // bit votes, popcount), so the full contract — any-band 16-bit block
+    // match AND hamming ≤ 3 — is SQL-expressible: the oracle recomputes the
+    // fingerprints and takes the pairwise answer directly (the Spark side's
+    // sub-bucketed join is EXACT, so no capping appears here). Fingerprints
+    // are < 2^61 (token hashes are 61-bit, so bits 61-63 never vote true):
+    // range(61) builds the identical value without signed-shift edge cases.
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(
+        |    trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+        |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS hv
+        |  FROM tok),
+        |v AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h, (SELECT unnest(range(61)) AS j) GROUP BY 1, 2),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM v GROUP BY 1)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |  WHERE ((a.fp >> 0) & 65535) = ((b.fp >> 0) & 65535)
+        |     OR ((a.fp >> 16) & 65535) = ((b.fp >> 16) & 65535)
+        |     OR ((a.fp >> 32) & 65535) = ((b.fp >> 32) & 65535)
+        |     OR ((a.fp >> 48) & 65535) = ((b.fp >> 48) & 65535))
+        |WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_lsh" -> {
+      // the SplitMix64-derived permutation constants inlined as a VALUES
+      // table — the oracle replays the exact signature stream (a_j·x + b_j
+      // mod 2^61-1 in HUGEINT), banding fold, the maxDf 1000 bucket cap,
+      // and the k/128 agreement estimate, bit for bit
+      val permValues = graft.functions.MinHash.perms
+        .map { case (j, a, b) => s"($j, $a, $b)" }
+        .mkString(", ")
+      s"""WITH perms(j, a, b) AS (VALUES $permValues),
+         |ts AS (
+         |  SELECT doc_id, string_split_regex(
+         |    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), ' ') AS s
+         |  FROM documents
+         |  WHERE len(string_split_regex(
+         |    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), ' ')) >= 5),
+         |th AS (
+         |  SELECT doc_id, [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+         |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS HUGEINT)
+         |    FOR t IN s] AS hs
+         |  FROM ts),
+         |sh AS (
+         |  SELECT doc_id, list_distinct([
+         |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |        hs[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)]),
+         |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT)
+         |    FOR i IN range(1, len(hs) - 3)]) AS shingles
+         |  FROM th),
+         |sx AS (SELECT doc_id, unnest(shingles) AS shv FROM sh),
+         |sigv AS (
+         |  SELECT doc_id, j,
+         |    min(CAST((CAST(a AS HUGEINT) * shv + b) % 2305843009213693951 AS BIGINT)) AS v
+         |  FROM sx, perms GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM sigv GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, band,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |        sig[CAST(band * 4 + 1 AS INTEGER):CAST(band * 4 + 4 AS INTEGER)]),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS bh
+         |  FROM sigs, (SELECT unnest(range(32)) AS band)),
+         |bucket AS (
+         |  SELECT band, bh FROM bands GROUP BY band, bh
+         |  HAVING count(*) BETWEEN 2 AND 1000),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bucket USING (band, bh)
+         |  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT p.doc_a, p.doc_b,
+         |  FLOOR(len(list_filter(range(128),
+         |      i -> sa.sig[CAST(i + 1 AS INTEGER)] = sb.sig[CAST(i + 1 AS INTEGER)]))
+         |    / 128.0 * 10000 + 0.5) / 10000.0 AS est_jaccard
+         |FROM pairs p
+         |JOIN sigs sa ON sa.doc_id = p.doc_a
+         |JOIN sigs sb ON sb.doc_id = p.doc_b
+         |WHERE len(list_filter(range(128),
+         |    i -> sa.sig[CAST(i + 1 AS INTEGER)] = sb.sig[CAST(i + 1 AS INTEGER)]))
+         |  / 128.0 >= 0.5
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin
+    },
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim

@@ -36,6 +36,11 @@ object MinHash {
   private val bs: Array[Long] =
     splitmix(1337L).map(_ & Mersenne61.P).take(NumPerms).toArray
 
+  /** The 128 (j, a_j, b_j) permutation constants — exposed so the DuckDB
+    * oracle can inline the exact same stream as a VALUES table. */
+  def perms: Seq[(Int, Long, Long)] =
+    (0 until NumPerms).map(j => (j, as(j), bs(j)))
+
   /** 128-long minhash signature over a set of string shingles. */
   def signature(shingles: ArrayData): ArrayData = {
     val sig = Array.fill(NumPerms)(Long.MaxValue)

@@ -110,4 +110,40 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.map(_.getString(1)).distinct.length == kept.length)
     assert(kept.map(_.getLong(2)).sum == 500L)
   }
+
+  test("simhash sub-bucketing is exact on a degenerate constant-block corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a self-similar corpus: every doc shares a long common prefix, so the
+    // vote bias makes (at least) one 16-bit fingerprint block constant and
+    // all 60 docs land in a single (band, block) bucket — the case where
+    // the old collect_list row held the whole corpus
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val docs = (0L until 60L).map(i => (i, s"$base marker$i"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash_degen_")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // maxBucket far below the bucket size forces s > 1 sub-buckets…
+    val capped = Dedup.simhash(spark, dir.toString, maxBucket = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // …and must produce the identical pair set to the single-bucket run
+    val uncapped = Dedup.simhash(spark, dir.toString, maxBucket = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(uncapped.nonEmpty, "the degenerate corpus should have near-dup pairs")
+    assert(capped == uncapped,
+      s"sub-bucketing changed the result: ${capped.diff(uncapped)} / ${uncapped.diff(capped)}")
+
+    // and the bucket really was degenerate: some (band, block) holds all docs
+    val fps = Tables.documents(spark, dir.toString)
+      .withColumn("toks", split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+      .select(graft.functions.HashFunctions.simhash64(col("toks")).as("fp"))
+    val maxBucketSize = fps
+      .select(posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(fp, b * 16) & 65535L)"))
+        .as(Seq("band", "block")))
+      .groupBy(col("band"), col("block")).count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucketSize == 60L, s"expected a constant block, max df = $maxBucketSize")
+  }
 }
