@@ -40,7 +40,7 @@ object CleanCorpus {
         markers.keys.filterNot(_ == "en").toSeq.map(l =>
           expr(s"size(filter(toks, t -> array_contains(${arr(markers(l))}, t)))")): _*))
 
-    val dupIds = Dedup.ngramJaccard(spark, sfDir)
+    val dupIds = Dedup.ngramJaccardPairs(spark, sfDir)
       .select(col("doc_b").as("doc_id")).distinct()
 
     scored
