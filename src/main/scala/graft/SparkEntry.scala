@@ -67,6 +67,13 @@ object SparkEntry {
     "knn_filtered_ivf" -> ((s, d) =>
       VectorIndex.ivfSearchStore(s, d,
         filter = Some(org.apache.spark.sql.functions.col("label") === 3))),
+    "knn_filtered_ivf_json" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, get_json_object}
+      VectorIndex.ivfSearchStore(s, d,
+        filter = Some(get_json_object(col("metadata"), "$.lang") === "en"))
+    }),
+    "knn_threshold_ivf" -> ((s, d) => VectorIndex.ivfThresholdStore(s, d)),
+    "knn_mmr_ivf" -> ((s, d) => VectorIndex.ivfMmrStore(s, d)),
     "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
     "lsh_search" -> ((s, d) => VectorIndex.lshSearchStore(s, d)),
     // --- multimodal (stubbed decode, real plumbing) ---

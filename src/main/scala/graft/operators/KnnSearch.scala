@@ -241,7 +241,17 @@ object KnnSearch {
       .collect()
       .map(r => (r.getLong(0), r.getInt(1),
         r.getSeq[Float](2).toArray.map(_.toDouble), r.getDouble(3)))
+    mmrRerank(spark, cand, k, lambdaMult)
+  }
 
+  /** The greedy λ-diversity selection shared by [[mmrTopK]] and the
+    * store-backed [[VectorIndex.mmrSearchStore]]: candidates arrive in
+    * relevance-rank order as (vec_id, label, embedding, score). */
+  private[graft] def mmrRerank(
+      spark: SparkSession,
+      cand: Array[(Long, Int, Array[Double], Double)],
+      k: Int,
+      lambdaMult: Double): DataFrame = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }

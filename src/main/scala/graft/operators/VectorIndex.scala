@@ -32,12 +32,15 @@ object VectorIndex {
   /** Deterministic k-means: init = embeddings of the k smallest vec_ids,
     * then `Iters` Lloyd iterations. Returns driver-side centroid matrix. */
   def trainCentroids(spark: SparkSession, sfDir: String): Array[Array[Float]] =
-    centroidCache.computeIfAbsent(sfDir, _ => trainCentroidsUncached(spark, sfDir))
+    centroidCache.computeIfAbsent(sfDir, _ =>
+      trainLloyd(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))))
 
-  private def trainCentroidsUncached(
-      spark: SparkSession, sfDir: String): Array[Array[Float]] = {
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"))
+  /** The Lloyd loop over any (vec_id, embedding) frame — shared by the
+    * sfDir-keyed trainer above and [[compactStore]]'s retrain path (which
+    * trains on the store's own live rows). */
+  private def trainLloyd(embIn: DataFrame): Array[Array[Float]] = {
+    val emb = embIn.select(col("vec_id"), col("embedding"))
     var centroids: Array[Array[Float]] = emb
       .orderBy(col("vec_id"))
       .limit(K)
@@ -75,10 +78,18 @@ object VectorIndex {
     * [[trainCentroids]] stays the deterministic oracle-stable default for
     * the graded queries. */
   def trainCentroidsML(
-      spark: SparkSession, sfDir: String, k: Int = K): Array[Array[Float]] = {
+      spark: SparkSession, sfDir: String, k: Int = K): Array[Array[Float]] =
+    trainMLFrame(Tables.embeddings(spark, sfDir), k)
+
+  /** The MLlib trainer over any frame with an `embedding` column — shared
+    * by the sfDir entry point above and [[compactStore]]'s retrain path,
+    * where the k-means|| init is what lets appended far-away clusters
+    * claim their own centroids (Lloyd from in-distribution seeds cannot
+    * split mass it never saw at init time). */
+  private def trainMLFrame(emb: DataFrame, k: Int = K): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val data = Tables.embeddings(spark, sfDir)
+    val data = emb
       .select(array_to_vector(col("embedding").cast("array<double>"))
         .as("features"))
     new KMeans()
@@ -136,17 +147,43 @@ object VectorIndex {
       .limit(k)
   }
 
+  // ---- single-generation manifest -----------------------------------
+  // A marker file records whether the store is known to hold exactly one
+  // live version per id (fresh build or just-compacted). When set,
+  // [[searchStore]] skips the max_by generation resolution entirely — the
+  // probe becomes a pruned scan + TakeOrdered with NO exchange. Appends
+  // and deletes clear the flag; compaction restores it. The check is one
+  // driver-side file-existence call per query.
+  private def singleGenPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_single_gen")
+  private def fs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  private def setSingleGen(spark: SparkSession, path: String, v: Boolean): Unit =
+    if (v) fs(spark).create(singleGenPath(path), true).close()
+    else fs(spark).delete(singleGenPath(path), false): Unit
+  private[graft] def isSingleGen(spark: SparkSession, path: String): Boolean =
+    fs(spark).exists(singleGenPath(path))
+
   /** Materialize the IVF store: vectors written `partitionBy(centroid_id)`
     * plus a centroids side-table — the layout that turns an `nprobe`-probe
     * search into a partition-pruned read of nprobe/k of the corpus.
     * Rows carry a `gen` (generation) column: the base build is gen 0 and
-    * [[appendStore]] adds higher generations without rewriting the store. */
+    * [[appendStore]] adds higher generations without rewriting the store.
+    * Each row also carries the document's JSON `metadata` (the reference
+    * stores a metadata dict per vector, app.py:131) — the doc join is paid
+    * ONCE here at build time, so a metadata-filtered probe stays a
+    * single-table pruned scan. */
   def writeStore(
       spark: SparkSession, sfDir: String, path: String,
       trained: Option[Array[Array[Float]]] = None): Unit = {
     val centroids = trained.getOrElse(trainCentroids(spark, sfDir))
+    val metadata = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        to_json(struct(col("lang"), col("source"), col("n_chars")))
+          .as("metadata"))
     Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), col("embedding"),
+      .join(metadata, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("label"), col("embedding"), col("metadata"),
         lit(false).as("deleted"), lit(0L).as("gen"),
         IndexFunctions.nearestCentroid(col("embedding"), centroids)
           .getField("centroid_id").as("centroid_id"))
@@ -157,6 +194,7 @@ object VectorIndex {
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("centroid_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    setSingleGen(spark, path, v = true)
   }
 
   /** Incremental upsert (the reference's `add_texts` growth path,
@@ -189,9 +227,12 @@ object VectorIndex {
       .join(batch.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
       .groupBy(col("vec_id"))
       .agg(max(col("centroid_id")).as("sticky_cid"))
-    batch
+    val withMeta =
+      if (batch.columns.contains("metadata")) batch
+      else batch.withColumn("metadata", lit(null).cast("string"))
+    withMeta
       .join(existing, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("label"), col("embedding"),
+      .select(col("vec_id"), col("label"), col("embedding"), col("metadata"),
         lit(false).as("deleted"), lit(gen).as("gen"),
         coalesce(
           col("sticky_cid"),
@@ -199,6 +240,7 @@ object VectorIndex {
             .getField("centroid_id")).as("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/vectors")
+    setSingleGen(spark, path, v = false)
   }
 
   /** Tombstone delete (the reference store's `delete(ids)` surface): each
@@ -212,46 +254,73 @@ object VectorIndex {
       spark: SparkSession,
       path: String,
       ids: Seq[Long],
-      gen: Long): Unit =
+      gen: Long): Unit = {
     spark.read.parquet(s"$path/vectors")
       .where(col("vec_id").isin(ids: _*))
-      .select(col("vec_id"), col("label"), col("embedding"),
+      .select(col("vec_id"), col("label"), col("embedding"), col("metadata"),
         lit(true).as("deleted"), lit(gen).as("gen"), col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/vectors")
+    setSingleGen(spark, path, v = false)
+  }
 
   /** Fold all generations down to the latest version of every id and
     * rewrite the store as gen 0, dropping ids whose latest version is a
     * tombstone — the maintenance pass that restores dedup-free reads
     * after a run of appends/deletes. One shuffle keyed by vec_id (the
-    * same work a read-side dedup pays, paid once instead of per query). */
-  def compactStore(spark: SparkSession, path: String): Unit = {
-    val centroids = readCentroids(spark, path)
-    val latest = spark.read.parquet(s"$path/vectors")
+    * same work a read-side dedup pays, paid once instead of per query).
+    *
+    * With `retrain = true` the centroid matrix itself is re-trained
+    * (deterministic Lloyd) on the surviving live vectors before the
+    * rewrite — the maintenance answer to index drift: a long run of
+    * appends in a new region of the space piles into whatever old
+    * centroid is least far away, and retraining re-balances the
+    * partition layout to the data the store NOW holds. */
+  def compactStore(
+      spark: SparkSession, path: String, retrain: Boolean = false): Unit = {
+    val live = spark.read.parquet(s"$path/vectors")
       .groupBy(col("vec_id"))
       .agg(max_by(
-        struct(col("label"), col("embedding"), col("centroid_id"),
-          col("deleted")),
+        struct(col("label"), col("embedding"), col("metadata"),
+          col("centroid_id"), col("deleted")),
         // tie-break: same generation prefers the live row over a tombstone
         struct(col("gen"), !col("deleted"))).as("v"))
       .where(!col("v.deleted"))
-      // re-assign to the CURRENT nearest centroid: appendStore keeps
-      // updated ids sticky in their old partition for pruned-read
-      // correctness; compaction is where placement catches up with the
-      // embedding (the old copies are folded away here, so moving is safe)
+    val centroids =
+      if (retrain) {
+        // the resolved frame feeds both the trainer and the rewrite: cache
+        // it so the k-means iterations don't re-fold the generations per
+        // pass. MLlib's k-means|| init (not the deterministic Lloyd) is
+        // deliberate here: retraining exists to give appended
+        // out-of-distribution clusters their own centroids, which needs
+        // distance-weighted seeding across the CURRENT data.
+        live.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c = trainMLFrame(live.select(col("v.embedding").as("embedding")))
+        import spark.implicits._
+        c.zipWithIndex.toSeq
+          .map { case (cv, i) => (i, cv.toSeq) }
+          .toDF("centroid_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+        c
+      } else readCentroids(spark, path)
+    // re-assign to the CURRENT nearest centroid: appendStore keeps
+    // updated ids sticky in their old partition for pruned-read
+    // correctness; compaction is where placement catches up with the
+    // embedding (the old copies are folded away here, so moving is safe)
+    val latest = live
       .select(col("vec_id"), col("v.label").as("label"),
-        col("v.embedding").as("embedding"),
+        col("v.embedding").as("embedding"), col("v.metadata").as("metadata"),
         lit(false).as("deleted"), lit(0L).as("gen"),
         IndexFunctions.nearestCentroid(col("v.embedding"), centroids)
           .getField("centroid_id").as("centroid_id"))
     // two-phase rewrite: parquet cannot overwrite a path it is reading
     latest.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/vectors_compact")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/vectors_compact"),
+    live.unpersist()
+    fs(spark).delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
+    fs(spark).rename(new org.apache.hadoop.fs.Path(s"$path/vectors_compact"),
       new org.apache.hadoop.fs.Path(s"$path/vectors"))
+    setSingleGen(spark, path, v = true)
   }
 
   private def readCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
@@ -284,14 +353,21 @@ object VectorIndex {
     * superseded generation can never satisfy the predicate on stale
     * attributes; on a compacted (single-gen) store the resolution is a
     * no-op and Catalyst is free to push the predicate into the scan. */
-  def searchStore(
+  /** The pruned + version-resolved probe frame every store search shares:
+    * `centroid_id IN (probes)` partition-pruned scan, then — ONLY when the
+    * single-gen manifest flag is off — the max_by generation resolution.
+    * On a fresh or compacted store the resolution (and its Exchange) is
+    * skipped entirely: the probe plan is scan → filter → TakeOrdered.
+    * The metadata `filter` applies AFTER resolution so a superseded
+    * generation can never satisfy the predicate on stale attributes; on
+    * the single-gen path there is nothing stale and Catalyst pushes it
+    * into the pruned scan. */
+  private def resolvedProbe(
       spark: SparkSession,
       path: String,
       queryVec: Array[Float],
-      k: Int = 10,
-      nprobe: Int = 4,
-      filter: Option[Column] = None,
-      strategy: KnnSearch.Strategy = KnnSearch.Cosine): DataFrame = {
+      nprobe: Int,
+      filter: Option[Column]): DataFrame = {
     val centroids = readCentroids(spark, path)
     // probe by L2 proximity to the centroids for every metric: exact for
     // Euclidean, the standard surrogate for cosine/IP over this store
@@ -307,28 +383,86 @@ object VectorIndex {
       }
       .sortBy { case (i, s) => (s, i) }
       .take(nprobe).map(_._1).toSeq
-    // the metadata filter applies AFTER generation resolution: filtering
-    // raw rows first would let a superseded generation that still matches
-    // the predicate win max_by and resurrect stale attributes (e.g. an
-    // update that changed the filtered label)
-    val resolved = spark.read.parquet(s"$path/vectors")
+    val pruned = spark.read.parquet(s"$path/vectors")
       .where(col("centroid_id").isin(probed: _*))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("label"), col("embedding"), col("centroid_id"),
-          col("deleted")),
-        // tie-break: same generation prefers the live row over a tombstone
-        struct(col("gen"), !col("deleted"))).as("v"))
-      .where(!col("v.deleted"))
-      .select(col("vec_id"), col("v.label").as("label"),
-        col("v.centroid_id").as("centroid_id"), col("v.embedding").as("embedding"))
-      .where(filter.getOrElse(lit(true)))
+    val resolved =
+      if (isSingleGen(spark, path))
+        pruned.where(!col("deleted"))
+          .select(col("vec_id"), col("label"), col("metadata"),
+            col("centroid_id"), col("embedding"))
+      else
+        pruned
+          .groupBy(col("vec_id"))
+          .agg(max_by(
+            struct(col("label"), col("embedding"), col("metadata"),
+              col("centroid_id"), col("deleted")),
+            // tie-break: same generation prefers the live row to a tombstone
+            struct(col("gen"), !col("deleted"))).as("v"))
+          .where(!col("v.deleted"))
+          .select(col("vec_id"), col("v.label").as("label"),
+            col("v.metadata").as("metadata"),
+            col("v.centroid_id").as("centroid_id"),
+            col("v.embedding").as("embedding"))
+    resolved.where(filter.getOrElse(lit(true)))
+  }
+
+  /** Search a materialized IVF store. The `centroid_id IN (...)` predicate
+    * is a partition filter on the written layout: Spark's file index prunes
+    * the non-probed directories before any IO — the scan reads nprobe/k of
+    * the data, which is the point of the index. Ids touched by
+    * [[appendStore]] resolve to their highest generation before scoring —
+    * a shuffle of only the pruned subset, skipped outright on a fresh or
+    * compacted store (single-gen manifest) and eliminated again by
+    * [[compactStore]]. `scoreThreshold` switches the tail from top-k to
+    * the reference's score-threshold search mode (all hits past the
+    * threshold, no k — similarity keeps ≥, distance keeps ≤). */
+  def searchStore(
+      spark: SparkSession,
+      path: String,
+      queryVec: Array[Float],
+      k: Int = 10,
+      nprobe: Int = 4,
+      filter: Option[Column] = None,
+      strategy: KnnSearch.Strategy = KnnSearch.Cosine,
+      scoreThreshold: Option[Double] = None): DataFrame = {
+    val scored = resolvedProbe(spark, path, queryVec, nprobe, filter)
       .select(col("vec_id"), col("label"), col("centroid_id"),
         round(strategy.score(col("embedding"), typedLit(queryVec)), 4)
           .as("score"))
-    (if (strategy.descending) resolved.orderBy(col("score").desc, col("vec_id"))
-     else resolved.orderBy(col("score").asc, col("vec_id")))
-      .limit(k)
+    val thresholded = scoreThreshold.fold(scored) { t =>
+      if (strategy.descending) scored.where(col("score") >= t)
+      else scored.where(col("score") <= t)
+    }
+    val ordered =
+      if (strategy.descending) thresholded.orderBy(col("score").desc, col("vec_id"))
+      else thresholded.orderBy(col("score").asc, col("vec_id"))
+    if (scoreThreshold.isDefined) ordered else ordered.limit(k)
+  }
+
+  /** Max-marginal-relevance search over the materialized store: the
+    * fetchK candidate fetch is the pruned store probe (same plan as
+    * [[searchStore]], embeddings retained), the greedy λ-diversity
+    * re-rank is the shared driver-side step from [[KnnSearch.mmrTopK]] —
+    * candidate sets are query parameters by then, not data. */
+  def mmrSearchStore(
+      spark: SparkSession,
+      path: String,
+      queryVec: Array[Float],
+      k: Int = 10,
+      fetchK: Int = 50,
+      lambdaMult: Double = 0.5,
+      nprobe: Int = 4,
+      filter: Option[Column] = None): DataFrame = {
+    val cand = resolvedProbe(spark, path, queryVec, nprobe, filter)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("embedding"), typedLit(queryVec)), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(fetchK)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(_.toDouble), r.getDouble(3)))
+    KnnSearch.mmrRerank(spark, cand, k, lambdaMult)
   }
 
   /** The graded IVF search path: build (or reuse) the materialized
@@ -348,6 +482,38 @@ object VectorIndex {
     val excl = col("vec_id") =!= queryVecId
     searchStore(spark, path, qv, k, nprobe,
       Some(filter.fold(excl)(_ && excl)))
+  }
+
+  /** Score-threshold search through the materialized store (the reference's
+    * `score_threshold` mode composed with `index_enabled`): pruned probe,
+    * all hits ≥ threshold, no k. */
+  def ivfThresholdStore(
+      spark: SparkSession,
+      sfDir: String,
+      threshold: Double = 0.2,
+      nprobe: Int = 4,
+      queryVecId: Long = 0L): DataFrame = {
+    val path = ensureStore(spark, sfDir)
+    val qv = KnnSearch.queryVector(spark, sfDir, queryVecId)
+    searchStore(spark, path, qv, nprobe = nprobe,
+      filter = Some(col("vec_id") =!= queryVecId),
+      scoreThreshold = Some(threshold))
+  }
+
+  /** MMR search through the materialized store (the reference's
+    * `max_marginal_relevance_search` retriever mode composed with
+    * `index_enabled`): pruned fetchK probe + shared greedy re-rank. */
+  def ivfMmrStore(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      fetchK: Int = 50,
+      nprobe: Int = 4,
+      queryVecId: Long = 0L): DataFrame = {
+    val path = ensureStore(spark, sfDir)
+    val qv = KnnSearch.queryVector(spark, sfDir, queryVecId)
+    mmrSearchStore(spark, path, qv, k, fetchK,
+      filter = Some(col("vec_id") =!= queryVecId), nprobe = nprobe)
   }
 
   /** Materialize the LSH store: vectors written `partitionBy(bucket)` (the

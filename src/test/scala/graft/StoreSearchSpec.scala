@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators.{KnnSearch, VectorIndex}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Round-3 store-search surface: threshold / MMR / JSON-metadata search
+  * through the materialized IVF store, the single-generation fast path,
+  * and retrain-on-compact. */
+class StoreSearchSpec extends SparkSpec {
+
+  private def fullProbe = VectorIndex.K // probe every centroid → exact scan
+
+  test("store threshold search at full probe equals the exact threshold scan") {
+    val path = Files.createTempDirectory("store_thresh").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    val stored = VectorIndex.searchStore(spark, path, qv,
+      nprobe = fullProbe, filter = Some(col("vec_id") =!= 0L),
+      scoreThreshold = Some(0.2))
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    val exact = KnnSearch.aboveThreshold(spark, sfDir, 0.2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(exact.nonEmpty)
+    assert(stored == exact,
+      s"store/exact diff: ${stored.diff(exact)} / ${exact.diff(stored)}")
+  }
+
+  test("store MMR search at full probe equals the exact-scan MMR") {
+    val path = Files.createTempDirectory("store_mmr").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    val stored = VectorIndex.mmrSearchStore(spark, path, qv,
+      nprobe = fullProbe, filter = Some(col("vec_id") =!= 0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    val exact = KnnSearch.mmrTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(exact.nonEmpty)
+    assert(stored.toSeq == exact.toSeq)
+  }
+
+  test("JSON-metadata filter composes into the pruned store probe") {
+    val path = VectorIndex.ensureStore(spark, sfDir)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    val probe = VectorIndex.searchStore(spark, path, qv, k = 10, nprobe = 4,
+      filter = Some(get_json_object(col("metadata"), "$.lang") === "en"
+        && col("vec_id") =!= 0L))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      s"partition pruning lost under the JSON filter:\n$plan")
+    val rows = probe.collect()
+    assert(rows.length == 10)
+    // the store's metadata agrees with the documents table: every hit is en
+    val enIds = graft.Tables.documents(spark, sfDir)
+      .where(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(enIds.contains(r.getLong(0))))
+    // and at full probe the result matches the exact JSON-filtered search
+    val storedFull = VectorIndex.searchStore(spark, path, qv, k = 10,
+      nprobe = fullProbe,
+      filter = Some(get_json_object(col("metadata"), "$.lang") === "en"
+        && col("vec_id") =!= 0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val exact = KnnSearch.topKJsonFiltered(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(storedFull == exact)
+  }
+
+  test("single-gen fast path: no exchange on fresh store, resolution returns after append, compaction restores it") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("store_singlegen").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+
+    def plan(): String =
+      VectorIndex.searchStore(spark, path, qv, k = 10, nprobe = 4)
+        .queryExecution.executedPlan.toString
+    def result(): Seq[(Long, Double)] =
+      VectorIndex.searchStore(spark, path, qv, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+
+    assert(VectorIndex.isSingleGen(spark, path))
+    assert(!plan().contains("Exchange"),
+      s"fresh store probe should skip generation resolution:\n${plan()}")
+    val fresh = result()
+
+    // an append flips the store to merge-on-read: resolution (and its
+    // exchange) must come back, and the appended id must win
+    val batch = Seq((9999L, 7, Array.fill(64)(0.01f).toSeq))
+      .toDF("vec_id", "label", "embedding")
+    VectorIndex.appendStore(spark, path, batch, gen = 1L)
+    assert(!VectorIndex.isSingleGen(spark, path))
+    assert(plan().contains("Exchange"),
+      "merge-on-read store must resolve generations")
+
+    // compaction folds back to single-gen: fast path again, same results
+    VectorIndex.compactStore(spark, path)
+    assert(VectorIndex.isSingleGen(spark, path))
+    assert(!plan().contains("Exchange"),
+      s"compacted store probe should skip generation resolution:\n${plan()}")
+    val compacted = result()
+    // the appended vector is near-zero, far from the query: top-10 unchanged
+    assert(compacted == fresh)
+  }
+
+  test("retrain-on-compact re-balances a store dominated by appended clusters") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("store_retrain").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+
+    // heavy append: three far-away clusters, 3× the base corpus combined
+    val base = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    def shifted(offset: Float, idOffset: Long) = base
+      .select((col("vec_id") + idOffset).as("vec_id"), col("label"),
+        expr(s"transform(embedding, x -> x + CAST($offset AS FLOAT))")
+          .as("embedding"))
+    VectorIndex.appendStore(spark, path, shifted(10f, 10000L), gen = 1L)
+    VectorIndex.appendStore(spark, path, shifted(-10f, 20000L), gen = 2L)
+    VectorIndex.appendStore(spark, path, shifted(20f, 30000L), gen = 3L)
+
+    VectorIndex.compactStore(spark, path, retrain = true)
+    assert(VectorIndex.isSingleGen(spark, path))
+
+    val byPartition = spark.read.parquet(s"$path/vectors")
+      .groupBy(col("centroid_id")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = byPartition.values.sum
+    assert(total == 2000L, s"expected 4 × 500 live rows, got $total")
+    // frozen centroids leave the +10/+20 appends piled onto ONE
+    // in-distribution centroid (≥ 50% of the store); after retrain no
+    // partition may exceed a single cluster's share (25% + slack)
+    val maxShare = byPartition.values.max.toDouble / total
+    assert(maxShare <= 0.3, s"partition still dominated: $maxShare")
+
+    // search parity: a full probe over the retrained store equals a
+    // brute-force cosine top-k over the same live rows
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    val stored = VectorIndex.searchStore(spark, path, qv,
+      k = 10, nprobe = VectorIndex.K)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val brute = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("embedding"), typedLit(qv)), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == brute)
+
+    // and a pruned probe near an appended cluster finds its members
+    val qShifted = qv.map(_ + 10f)
+    val hits = VectorIndex.searchStore(spark, path, qShifted,
+      k = 10, nprobe = 2)
+      .collect().map(_.getLong(0))
+    assert(hits.forall(id => id >= 10000L && id < 20000L),
+      s"shifted probe should hit the +10 cluster: ${hits.mkString(",")}")
+  }
+}
