@@ -54,6 +54,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_featurize" -> ((s, d) => TextAnalysis.featurize(s, d)),
     "text_search" -> ((s, d) => TextAnalysis.textSearch(s, d)),
+    // --- corpus ops (training-data pipeline: stats / sample / pack) ---
+    "corpus_stats" -> ((s, d) => CorpusOps.stats(s, d)),
+    "corpus_sample" -> ((s, d) => CorpusOps.sample(s, d)),
+    "corpus_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
     // --- deduplication (training-data pipeline) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -399,6 +403,38 @@ object SparkEntry {
           |  string_agg(d.text, '""".stripMargin + "\n\n" +
         """' ORDER BY t.score DESC, t.doc_id) AS context
           |FROM top t JOIN documents d ON d.doc_id = t.doc_id""".stripMargin),
+    "corpus_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+        |  FLOOR(avg(len(toks)) * 10000 + 0.5) / 10000.0 AS avg_tokens,
+        |  CAST(min(len(toks)) AS INTEGER) AS min_tokens,
+        |  CAST(max(len(toks)) AS INTEGER) AS max_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (SELECT lang, n_chars,
+        |        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |      FROM documents)""".stripMargin,
+    "corpus_sample" ->
+      """SELECT doc_id, lang, CAST(fp % 100 AS INTEGER) AS bucket
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(text, '.')]),
+        |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS fp
+        |  FROM documents)
+        |WHERE fp % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_pack" ->
+      """SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id, lang,
+        |          len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+        |        FROM documents))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipeline_clean" ->
       """WITH base AS (
         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,

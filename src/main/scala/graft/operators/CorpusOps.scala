@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-level operations of a training-data pipeline: health stats,
+  * deterministic sampling, and sequence packing — the steps between a
+  * cleaned corpus (see [[CleanCorpus]]) and a training run.
+  *
+  * All three are integer-exact or floor-rounded so the DuckDB oracles
+  * hash-match, and none shuffles document payloads: stats is one
+  * aggregate, sampling is map-only, packing shuffles (lang, doc_id,
+  * n_tokens) triples only.
+  */
+object CorpusOps {
+
+  private def toks = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+  /** Corpus health: one map-side-partial aggregate over the documents
+    * scan — the corpus-side analogue of the reference's `/health` store
+    * stats (app.py:173). */
+  def stats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(toks).as("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        TextAnalysis.round4(avg(col("n_tokens"))).as("avg_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+
+  /** Deterministic stratified sampling: keep a document iff
+    * `fingerprint mod 100 < rate(lang)` — the standard
+    * hash-mod-bucket sampling of a corpus pipeline (stable across runs,
+    * executors, and engines; no RNG state anywhere). English keeps 50%,
+    * everything else 10% — the usual upsample-the-target-language mix.
+    * Map-only: the decision rides in the same codegen'd scan stage as
+    * the fingerprint. */
+  def sample(
+      spark: SparkSession,
+      sfDir: String,
+      enPct: Int = 50,
+      otherPct: Int = 10): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        pmod(TextFunctions.polyFingerprint(col("text")), lit(100L))
+          .as("bucket"))
+      .where(col("bucket") <
+        when(col("lang") === "en", enPct).otherwise(otherPct))
+      .select(col("doc_id"), col("lang"), col("bucket").cast("int").as("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Sequence packing: assign documents (in deterministic doc_id order,
+    * per language) to training bins of `budget` tokens by cumulative
+    * token count, and report per-bin document/token totals — the batch
+    * packing step before tokenized examples are written. One shuffle
+    * keyed by lang carrying (doc_id, n_tokens) pairs; the window cumsum
+    * is a single pass per partition. A production packer runs this
+    * per-shard (the bin boundary is local state), which is the same plan
+    * with lang replaced by shard id. */
+  def packSequences(
+      spark: SparkSession,
+      sfDir: String,
+      budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), size(toks).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // bin = which budget-window the document STARTS in: floor of the
+      // pre-document cumulative count — greedy sequential packing
+      .withColumn("bin", ((col("cum") - col("n_tokens")) / budget)
+        .cast("bigint"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+}
