@@ -186,6 +186,14 @@ object KnnSearch {
     * query) and the search filters with `get_json_object` BEFORE scoring:
     * the JSON parse and the predicate run inside the same codegen'd scan
     * stage, so non-matching vectors are never scored. */
+  /** The per-document metadata dict serialized as JSON — ONE definition
+    * shared by the per-query join ([[topKJsonFiltered]]) and the store
+    * build ([[VectorIndex.writeStore]]), so the two paths can never
+    * diverge on the metadata schema (StoreSearchSpec asserts their
+    * parity). */
+  private[graft] def metadataJson: Column =
+    to_json(struct(col("lang"), col("source"), col("n_chars")))
+
   def topKJsonFiltered(
       spark: SparkSession,
       sfDir: String,
@@ -197,9 +205,7 @@ object KnnSearch {
     val store = Tables.embeddings(spark, sfDir)
       .join(
         Tables.documents(spark, sfDir)
-          .select(col("doc_id"),
-            to_json(struct(col("lang"), col("source"), col("n_chars")))
-              .as("metadata")),
+          .select(col("doc_id"), metadataJson.as("metadata")),
         col("vec_id") === col("doc_id"))
     store
       .where(col("vec_id") =!= queryVecId)

@@ -178,9 +178,7 @@ object VectorIndex {
       trained: Option[Array[Array[Float]]] = None): Unit = {
     val centroids = trained.getOrElse(trainCentroids(spark, sfDir))
     val metadata = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        to_json(struct(col("lang"), col("source"), col("n_chars")))
-          .as("metadata"))
+      .select(col("doc_id"), KnnSearch.metadataJson.as("metadata"))
     Tables.embeddings(spark, sfDir)
       .join(metadata, col("vec_id") === col("doc_id"), "left")
       .select(col("vec_id"), col("label"), col("embedding"), col("metadata"),
@@ -227,6 +225,10 @@ object VectorIndex {
       .join(batch.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
       .groupBy(col("vec_id"))
       .agg(max(col("centroid_id")).as("sticky_cid"))
+    // clear the single-gen flag BEFORE the append commits: a crash between
+    // the two then costs one redundant resolution exchange, never a fast
+    // path over a store that silently became multi-generation
+    setSingleGen(spark, path, v = false)
     val withMeta =
       if (batch.columns.contains("metadata")) batch
       else batch.withColumn("metadata", lit(null).cast("string"))
@@ -240,7 +242,6 @@ object VectorIndex {
             .getField("centroid_id")).as("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/vectors")
-    setSingleGen(spark, path, v = false)
   }
 
   /** Tombstone delete (the reference store's `delete(ids)` surface): each
@@ -255,13 +256,15 @@ object VectorIndex {
       path: String,
       ids: Seq[Long],
       gen: Long): Unit = {
+    // flag cleared before the write commits — same crash-safety order as
+    // appendStore
+    setSingleGen(spark, path, v = false)
     spark.read.parquet(s"$path/vectors")
       .where(col("vec_id").isin(ids: _*))
       .select(col("vec_id"), col("label"), col("embedding"), col("metadata"),
         lit(true).as("deleted"), lit(gen).as("gen"), col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/vectors")
-    setSingleGen(spark, path, v = false)
   }
 
   /** Fold all generations down to the latest version of every id and
@@ -297,10 +300,14 @@ object VectorIndex {
         live.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val c = trainMLFrame(live.select(col("v.embedding").as("embedding")))
         import spark.implicits._
+        // STAGED, not overwritten in place: the store must never hold new
+        // centroid geometry over the old partition layout (a probe would
+        // prune against partitions the new centroids know nothing about),
+        // so the swap happens only after the vectors rename below succeeds
         c.zipWithIndex.toSeq
           .map { case (cv, i) => (i, cv.toSeq) }
           .toDF("centroid_id", "centroid")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids_retrain")
         c
       } else readCentroids(spark, path)
     // re-assign to the CURRENT nearest centroid: appendStore keeps
@@ -320,6 +327,11 @@ object VectorIndex {
     fs(spark).delete(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
     fs(spark).rename(new org.apache.hadoop.fs.Path(s"$path/vectors_compact"),
       new org.apache.hadoop.fs.Path(s"$path/vectors"))
+    if (retrain) {
+      fs(spark).delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+      fs(spark).rename(new org.apache.hadoop.fs.Path(s"$path/centroids_retrain"),
+        new org.apache.hadoop.fs.Path(s"$path/centroids"))
+    }
     setSingleGen(spark, path, v = true)
   }
 
@@ -342,17 +354,6 @@ object VectorIndex {
       path
     })
 
-  /** Search a materialized IVF store. The `centroid_id IN (...)` predicate
-    * is a partition filter on the written layout: Spark's file index prunes
-    * the non-probed directories before any IO — the scan reads nprobe/k of
-    * the data, which is the point of the index. Ids touched by
-    * [[appendStore]] resolve to their highest generation before scoring —
-    * a shuffle of only the pruned subset, eliminated again by
-    * [[compactStore]]. The metadata `filter` (the reference's
-    * filter-with-index-enabled search) applies AFTER that resolution so a
-    * superseded generation can never satisfy the predicate on stale
-    * attributes; on a compacted (single-gen) store the resolution is a
-    * no-op and Catalyst is free to push the predicate into the scan. */
   /** The pruned + version-resolved probe frame every store search shares:
     * `centroid_id IN (probes)` partition-pruned scan, then — ONLY when the
     * single-gen manifest flag is off — the max_by generation resolution.
@@ -414,8 +415,11 @@ object VectorIndex {
     * a shuffle of only the pruned subset, skipped outright on a fresh or
     * compacted store (single-gen manifest) and eliminated again by
     * [[compactStore]]. `scoreThreshold` switches the tail from top-k to
-    * the reference's score-threshold search mode (all hits past the
-    * threshold, no k — similarity keeps ≥, distance keeps ≤). */
+    * the reference's score-threshold search mode — similarity keeps ≥,
+    * distance keeps ≤, and `k` is DELIBERATELY ignored: the contract
+    * matches [[KnnSearch.aboveThreshold]] (all qualifying hits, caller
+    * bounds the result via the threshold). Compose a limit on the
+    * returned frame if both bounds are wanted. */
   def searchStore(
       spark: SparkSession,
       path: String,

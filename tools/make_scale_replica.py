@@ -17,6 +17,9 @@ import os
 import sys
 
 import duckdb
+import pyarrow.compute as pc
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 src, dst = sys.argv[1], sys.argv[2]
 n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
@@ -43,15 +46,17 @@ def replicate_events(sp, dp):
     """events.ts is TIMESTAMP(NANOS) in the driver's layout (the Spark
     loader reads nanos-as-long); DuckDB would rewrite it as micros, so the
     events table replicates through pyarrow with its schema intact."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     t = pq.read_table(sp)
+    for k in ("event_id", "user_id"):
+        mx = pc.max(t.column(k)).as_py()
+        if mx is not None and mx >= OFF:
+            sys.exit(f"events.{k} max {mx} >= offset {OFF}; raise OFF")
     copies = []
     for i in range(n):
         c = t
         for k in ("event_id", "user_id"):
             idx = c.schema.get_field_index(k)
-            shifted = pa.compute.add(c.column(k), i * OFF)
+            shifted = pc.add(c.column(k), i * OFF)
             c = c.set_column(idx, k, shifted)
         copies.append(c)
     out = pa.concat_tables(copies)
@@ -72,6 +77,13 @@ for t, ks in KEYS.items():
         continue
     cols = [c[0] for c in con.execute(
         f"DESCRIBE SELECT * FROM read_parquet('{sp}')").fetchall()]
+    # the offset scheme silently corrupts join consistency if any source
+    # key reaches into the next copy's range — refuse instead
+    for k in ks:
+        mx = con.execute(
+            f"SELECT max({k}) FROM read_parquet('{sp}')").fetchone()[0]
+        if mx is not None and mx >= OFF:
+            sys.exit(f"{t}.{k} max {mx} >= offset {OFF}; raise OFF")
     sel = ", ".join(
         f"CAST(t.{c} + i.i * {OFF} AS BIGINT) AS {c}" if c in ks else f"t.{c}"
         for c in cols)
