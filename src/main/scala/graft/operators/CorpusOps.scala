@@ -59,20 +59,58 @@ object CorpusOps {
   /** Sequence packing: assign documents (in deterministic doc_id order,
     * per language) to training bins of `budget` tokens by cumulative
     * token count, and report per-bin document/token totals — the batch
-    * packing step before tokenized examples are written. One shuffle
-    * keyed by lang carrying (doc_id, n_tokens) pairs; the window cumsum
-    * is a single pass per partition. A production packer runs this
-    * per-shard (the bin boundary is local state), which is the same plan
-    * with lang replaced by shard id. */
+    * packing step before tokenized examples are written.
+    *
+    * The global per-language cumulative sum is computed as a DISTRIBUTED
+    * two-level prefix sum, never as a single per-language window (which
+    * would serialize each language's whole corpus through one task):
+    *
+    *   1. shard = doc_id DIV shardWidth — deterministic, contiguous in
+    *      doc_id, so every doc in shard s precedes every doc in shard
+    *      s+1 and a shard holds at most `shardWidth` documents;
+    *   2. one tiny aggregate produces per-(lang, shard) token subtotals
+    *      (one row per shard — KBs even at 100 TB), and an exclusive
+    *      running sum over that aggregate yields each shard's starting
+    *      offset;
+    *   3. the offsets broadcast-join back onto the (doc_id, lang,
+    *      n_tokens) triples, and the cumulative sum is windowed by
+    *      (lang, shard) — thousands of bounded window partitions
+    *      (state ≤ shardWidth rows) instead of one per language.
+    *
+    * The result is bit-identical to the naive per-language cumsum
+    * (offset(s) + local_cum ≡ global cum), and the plan parallelizes
+    * with the data: at 100 TB the shard count grows into the millions
+    * while per-task state stays constant. */
   def packSequences(
       spark: SparkSession,
       sfDir: String,
-      budget: Int = 2048): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
+      budget: Int = 2048,
+      shardWidth: Int = 4096): DataFrame = {
+    val triples = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), size(toks).as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard", expr(s"doc_id DIV $shardWidth"))
+
+    // Exclusive prefix: tokens in all earlier shards of the same lang.
+    // The window input is the aggregated subtotal table (one row per
+    // shard), so the single-key partitionBy here is over tiny data.
+    val offsets = triples
+      .groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("sub"))
+      .withColumn("off", coalesce(
+        sum(col("sub")).over(
+          Window.partitionBy(col("lang")).orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("lang").as("o_lang"), col("shard").as("o_shard"),
+        col("off"))
+
+    val local = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    triples
+      .join(broadcast(offsets),
+        col("lang") === col("o_lang") && col("shard") === col("o_shard"))
+      .withColumn("cum", col("off") + sum(col("n_tokens")).over(local))
       // bin = which budget-window the document STARTS in: floor of the
       // pre-document cumulative count — greedy sequential packing
       .withColumn("bin", ((col("cum") - col("n_tokens")) / budget)
