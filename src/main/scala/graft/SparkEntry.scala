@@ -80,6 +80,11 @@ object SparkEntry {
     "knn_mmr_ivf" -> ((s, d) => VectorIndex.ivfMmrStore(s, d)),
     "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
     "lsh_search" -> ((s, d) => VectorIndex.lshSearchStore(s, d)),
+    "lsh_filtered_json" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, get_json_object}
+      VectorIndex.lshSearchStore(s, d,
+        filter = Some(get_json_object(col("metadata"), "$.lang") === "en"))
+    }),
     // --- multimodal (stubbed decode, real plumbing) ---
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),

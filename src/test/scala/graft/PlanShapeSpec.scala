@@ -30,4 +30,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Exchange"), s"text_search plan gained a shuffle:\n$plan")
   }
+
+  test("corpus_pack cumsum is a distributed prefix sum, not a per-language window") {
+    // the r4 rework (VERDICT r3 item 1): the per-document cumulative sum
+    // must be windowed by (lang, shard) — bounded state per window
+    // partition — with the shard offsets broadcast back. A regression to
+    // Window.partitionBy(lang) would serialize each language's whole
+    // corpus through one task at 100 TB.
+    val plan = executedPlan(graft.operators.CorpusOps.packSequences(spark, sfDir))
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, s"no window found:\n$plan")
+    assert(winSpecs.exists(s => s.contains("lang") && s.contains("shard")),
+      s"per-doc cumsum window must be keyed by (lang, shard):\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"shard offsets should broadcast back onto the triples:\n$plan")
+  }
 }
