@@ -427,47 +427,69 @@ object VectorIndex {
     live.unpersist()
     val f = fs(spark)
     def P(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
-    f.rename(P("vectors"), P("vectors_old"))
-    f.rename(P("vectors_compact"), P("vectors"))
+    // Hadoop FileSystem signals most rename/delete failures by RETURNING
+    // false, not throwing — an unchecked swap step could leave the old
+    // multi-gen layout live while the code below still marks the store
+    // single-gen. Every step must either succeed or abort the swap.
+    def renameOrFail(src: String, dst: String): Unit =
+      if (!f.rename(P(src), P(dst)))
+        throw new java.io.IOException(
+          s"store swap: rename $path/$src -> $path/$dst failed")
+    def deleteOrFail(dir: String): Unit =
+      if (!f.delete(P(dir), true))
+        throw new java.io.IOException(s"store swap: delete $path/$dir failed")
+    renameOrFail("vectors", "vectors_old")
+    renameOrFail("vectors_compact", "vectors")
     if (stagedModel) {
       // model swap only after the matching vectors layout is live — and
       // staged the same way, so recovery can always finish it
-      f.rename(P(layout.modelDir), P(s"${layout.modelDir}_old"))
-      f.rename(P(s"${layout.modelDir}_retrain"), P(layout.modelDir))
-      f.delete(P(s"${layout.modelDir}_old"), true)
+      renameOrFail(layout.modelDir, s"${layout.modelDir}_old")
+      renameOrFail(s"${layout.modelDir}_retrain", layout.modelDir)
+      deleteOrFail(s"${layout.modelDir}_old")
       modelCache.put(s"$path/${layout.modelDir}", model)
     }
-    f.delete(P("vectors_old"), true)
+    deleteOrFail("vectors_old")
     setSingleGen(spark, path, v = true)
   }
 
   /** Crash recovery for an interrupted compaction swap. Decision rule:
     * `vectors_old` present means the staged layout was complete and the
     * swap had begun — roll FORWARD (finish the renames, drop the old
-    * layout, restore the single-gen flag); otherwise the live store was
-    * never touched — roll BACK by discarding staging output. Idempotent:
-    * safe to call at any time, including after a mid-recovery crash. */
+    * layout); otherwise the live store was never touched — roll BACK by
+    * discarding staging output. Idempotent: safe to call at any time,
+    * including after a mid-recovery crash.
+    *
+    * Recovery NEVER sets the single-gen flag: writers may have appended
+    * or deleted between the crash and this call (the store is readable
+    * once the new `vectors` is in place), legitimately clearing the
+    * flag — re-asserting it here would let the fast path skip the
+    * generation resolution those mutations require. Leaving the flag as
+    * found is always safe (off merely costs one resolution exchange;
+    * the next clean compaction restores it). */
   def recoverStore(spark: SparkSession, path: String): Unit = {
     val f = fs(spark)
     def P(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
     def ex(s: String) = f.exists(P(s))
+    def renameOrFail(src: String, dst: String): Unit =
+      if (!f.rename(P(src), P(dst)))
+        throw new java.io.IOException(
+          s"store recovery: rename $path/$src -> $path/$dst failed")
     val modelDirs = Seq(IvfLayout.modelDir, LshLayout.modelDir)
     if (ex("vectors_old")) {
       if (!ex("vectors") && ex("vectors_compact"))
-        f.rename(P("vectors_compact"), P("vectors"))
+        renameOrFail("vectors_compact", "vectors")
       for (m <- modelDirs) {
         if (ex(s"${m}_retrain")) {
           // the staged model belongs to the now-live layout: finish the
           // swap (delete-then-rename is safe here — the staged copy
           // survives a crash between the two, and recovery re-runs)
           if (ex(m)) f.delete(P(m), true)
-          f.rename(P(s"${m}_retrain"), P(m))
+          renameOrFail(s"${m}_retrain", m)
         }
         if (ex(s"${m}_old")) f.delete(P(s"${m}_old"), true)
         modelCache.remove(s"$path/$m")
       }
       f.delete(P("vectors_old"), true)
-      setSingleGen(spark, path, v = true)
     } else {
       // compaction never switched the store: discard staging output
       if (ex("vectors_compact")) f.delete(P("vectors_compact"), true)
@@ -668,8 +690,9 @@ object VectorIndex {
     * plausibly lands on the other side), flipping a high-margin plane is
     * expensive. Probing in increasing flip cost concentrates the probe
     * budget on the buckets most likely to hold true neighbors; measured
-    * on the test corpus it lifts recall@10 from 0.4 to ~1.0 at the SAME
-    * probed-bucket count as the blind hamming ball (AnnRecallSpec). The
+    * on the test corpus it lifts recall@10 from 0.4 to 0.7 at the SAME
+    * probed-bucket count as the blind hamming ball (AnnRecallSpec, which
+    * pins the floor and documents the budget/recall curve). The
     * budget is sized to the hamming-≤`probeHamming` ball, so the
     * parameter keeps its IO meaning — probeHamming = nPlanes still
     * probes every bucket (the exact-scan full probe of the specs). */

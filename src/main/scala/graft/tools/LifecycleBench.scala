@@ -25,11 +25,14 @@ object LifecycleBench {
     }
     val qv = KnnSearch.queryVector(spark, sfDir, 0L)
     // micro-batches: 500 new ids per generation, embeddings reused from
-    // the corpus so placement work is realistic
+    // the corpus so placement work is realistic. Deterministic id range
+    // (NOT an unordered limit) — the delete phase below targets ids
+    // 1000001..1000050, which must actually exist in the gen-1 batch or
+    // the tombstone timings would silently measure no-ops.
     def batch(idOffset: Long): DataFrame = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 500)
       .select((col("vec_id") + idOffset).as("vec_id"), col("label"),
         col("embedding"))
-      .limit(500)
 
     def run(
         tag: String,

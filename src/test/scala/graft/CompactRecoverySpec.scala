@@ -37,8 +37,39 @@ class CompactRecoverySpec extends SparkSpec {
     assert(hfs.exists(new Path(s"$path/vectors")))
     assert(!hfs.exists(new Path(s"$path/vectors_old")))
     assert(!hfs.exists(new Path(s"$path/vectors_compact")))
+    // recovery leaves the flag as found (here: still set by writeStore —
+    // nothing cleared it); it never asserts it itself
     assert(VectorIndex.isSingleGen(spark, path))
     assert(search(path) == before)
+  }
+
+  test("recovery never re-asserts single-gen over post-crash mutations") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("recover_mut").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+
+    // crash point: swap completed through rename(compact -> vectors) but
+    // died before delete(vectors_old) — the store is readable
+    spark.read.parquet(s"$path/vectors")
+      .write.partitionBy("centroid_id").parquet(s"$path/vectors_old_stage")
+    hfs.rename(new Path(s"$path/vectors_old_stage"), new Path(s"$path/vectors_old"))
+
+    // a writer updates an id before anyone runs recovery: the flag is
+    // legitimately cleared and a gen-1 row exists
+    VectorIndex.appendStore(spark, path,
+      Seq((1L, 7, qv.toSeq)).toDF("vec_id", "label", "embedding"), gen = 1L)
+    assert(!VectorIndex.isSingleGen(spark, path))
+
+    VectorIndex.recoverStore(spark, path)
+    assert(!hfs.exists(new Path(s"$path/vectors_old")))
+    // the flag must STAY off: the fast path would skip the resolution the
+    // append requires (stale gen-0 copy of id 1 would come back)
+    assert(!VectorIndex.isSingleGen(spark, path))
+    val res = search(path)
+    val v1 = res.find(_._1 == 1L).get
+    assert(v1._2 == 1.0, s"latest generation of id 1 must win: $res")
+    assert(res.count(_._1 == 1L) == 1, "no duplicate generations in results")
   }
 
   test("crash before the swap began: recoverStore rolls back, store untouched") {
@@ -72,7 +103,7 @@ class CompactRecoverySpec extends SparkSpec {
     assert(!hfs.exists(new Path(s"$path/centroids_old")))
     assert(!hfs.exists(new Path(s"$path/vectors_old")))
     assert(hfs.exists(new Path(s"$path/centroids")))
-    assert(VectorIndex.isSingleGen(spark, path))
+    assert(VectorIndex.isSingleGen(spark, path)) // as found, untouched
     assert(search(path) == before)
   }
 
