@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.clusterAssign(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     // --- ANN index structures (rows-only oracles) ---
@@ -608,6 +609,41 @@ object SparkEntry {
          |  / 128.0 >= 0.5
          |ORDER BY p.doc_a, p.doc_b""".stripMargin
     },
+    // connected components over the ngram-jaccard near-dup graph: the
+    // oracle computes the exact transitive closure (recursive CTE over the
+    // symmetric edge list) and takes min-reachable-id per node — the same
+    // contract the iterative min-label propagation converges to
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+        |     FOR i IN range(1, len(s) - 3)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ') AS s
+        |        FROM documents)
+        |  WHERE len(s) >= 5),
+        |e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+        |cap AS (
+        |  SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= 1000),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+        |    count(*) AS common
+        |  FROM e a
+        |  JOIN cap ON cap.shingle = a.shingle
+        |  JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pr AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.8),
+        |ed AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pr
+        |  UNION SELECT doc_b, doc_a FROM pr),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM ed
+        |  UNION
+        |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim

@@ -120,6 +120,54 @@ case class L2Distance(left: Expression, right: Expression) extends FloatVectorBi
 }
 
 /** l2_norm(x): vector magnitude, used for store-build normalization. */
+/** normalized_dot(x, uq): cosine via the NORMALIZED-STORE formulation —
+  * unit(x) · uq where uq is an already-unit double query vector. The
+  * accumulation order replicates the oracle's (and the HOF formulation it
+  * replaced) bit for bit: n = sqrt(Σ x_i²), then Σ over i of (x_i / n)·uq_i
+  * — the per-element division must happen BEFORE the multiply-accumulate
+  * (algebraically equal to dot(x, uq)/n, but not in floating point).
+  * Replaces a transform/zip_with/aggregate HOF chain that evaluated
+  * interpreted lambdas per element (measured ~10× slower than the
+  * codegen'd scan at sf1). */
+case class NormalizedDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "normalized_dot"
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val q = b.asInstanceOf[ArrayData].toDoubleArray()
+    var n2 = 0.0; var i = 0
+    while (i < x.length) { n2 += x(i).toDouble * x(i); i += 1 }
+    val n = math.sqrt(n2)
+    var s = 0.0; i = 0
+    while (i < x.length) { s += (x(i).toDouble / n) * q(i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val q = ctx.freshName("q")
+      val i = ctx.freshName("i")
+      val n2 = ctx.freshName("n2")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |float[] $x = $a.toFloatArray();
+         |double[] $q = $b.toDoubleArray();
+         |double $n2 = 0.0;
+         |for (int $i = 0; $i < $x.length; $i++) { $n2 += ((double) $x[$i]) * $x[$i]; }
+         |double $n = Math.sqrt($n2);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $x.length; $i++) { $s += (((double) $x[$i]) / $n) * $q[$i]; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class L2Norm(child: Expression) extends UnaryExpression with ExpectsInputTypes {
   override def prettyName: String = "l2_norm"
   override def inputTypes = Seq(ArrayType(FloatType))
@@ -181,6 +229,8 @@ object VectorFunctions {
   def l2Dist(x: Column, y: Column): Column = col(L2Distance(expr(x), expr(y)))
   def l2Norm(x: Column): Column = col(L2Norm(expr(x)))
   def l2Normalize(x: Column): Column = col(L2Normalize(expr(x)))
+  def normalizedDot(x: Column, uq: Column): Column =
+    col(NormalizedDot(expr(x), expr(uq)))
 
   /** Make the functions callable from `spark.sql(...)` text. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -189,5 +239,6 @@ object VectorFunctions {
     Bridge.register(spark, "l2_dist", es => L2Distance(es(0), es(1)))
     Bridge.register(spark, "l2_norm", es => L2Norm(es.head))
     Bridge.register(spark, "l2_normalize", es => L2Normalize(es.head))
+    Bridge.register(spark, "normalized_dot", es => NormalizedDot(es(0), es(1)))
   }
 }

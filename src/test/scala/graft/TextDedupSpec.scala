@@ -146,4 +146,31 @@ class TextDedupSpec extends SparkSpec {
       .agg(max("count")).head().getLong(0)
     assert(maxBucketSize == 60L, s"expected a constant block, max df = $maxBucketSize")
   }
+
+  test("cluster assignment equals a reference union-find over the same pair graph") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference union-find on the driver (test-only oracle)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      .map(d => (d, find(d)))
+    val got = Dedup.clusterAssign(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected.toSeq,
+      s"cluster mismatch:\n got $got\n exp ${expected.toSeq}")
+    // transitivity actually exercised: some cluster must have > 2 members
+    // (an A-B-C chain where keeping min-per-pair would under-merge)
+    val sizes = got.groupBy(_._2).map(_._2.size)
+    assert(sizes.max >= 2)
+  }
 }
