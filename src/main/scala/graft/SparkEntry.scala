@@ -644,6 +644,23 @@ object SparkEntry {
         |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // the hyperplanes are deterministic model state (SplitMix64, seed 7),
+    // so they inline as DOUBLE list literals (float→double is exact and
+    // Scala's shortest-round-trip repr parses back bit-identically) and
+    // the oracle recomputes every signature: bit i = dot(emb, plane_i)>0,
+    // with list_inner_product's sequential double accumulation matching
+    // the native expression's loop order. Verified hash-exact at
+    // sf0.001/0.01/0.1.
+    "lsh_bucket" -> {
+      val planes = graft.functions.IndexOps.hyperplanes(16, 64)
+      val sigTerms = planes.zipWithIndex.map { case (p, i) =>
+        val lst = p.map(v => v.toDouble.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $lst) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"""SELECT bucket, count(*) AS n_vectors FROM (
+         |  SELECT $sigTerms AS bucket FROM embeddings)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     "dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim

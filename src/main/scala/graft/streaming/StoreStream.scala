@@ -34,14 +34,34 @@ object StoreStream {
       storePath: String,
       startGen: Long,
       checkpointDir: String): StreamingQuery =
+    ingestWith(spark, dir, startGen, checkpointDir,
+      VectorIndex.appendStore(_, storePath, _, _))
+
+  /** Same live `add_texts` path into the bucket-partitioned LSH store —
+    * the store CRUD surface is layout-independent (one shared append
+    * implementation), so the streaming ingest is too. */
+  def ingestLsh(
+      spark: SparkSession,
+      dir: String,
+      storePath: String,
+      startGen: Long,
+      checkpointDir: String): StreamingQuery =
+    ingestWith(spark, dir, startGen, checkpointDir,
+      VectorIndex.appendLshStore(_, storePath, _, _))
+
+  private def ingestWith(
+      spark: SparkSession,
+      dir: String,
+      startGen: Long,
+      checkpointDir: String,
+      append: (SparkSession, DataFrame, Long) => Unit): StreamingQuery =
     spark.readStream
       .schema(vecSchema)
       .json(dir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        VectorIndex.appendStore(
-          batch.sparkSession, storePath, batch, startGen + batchId)
+        append(batch.sparkSession, batch, startGen + batchId)
       }
       .start()
 }

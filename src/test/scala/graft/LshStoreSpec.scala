@@ -82,6 +82,30 @@ class LshStoreSpec extends SparkSpec {
     assert(storedFull == exact)
   }
 
+  test("streaming ingest upserts micro-batches into the lsh store as generations") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("lsh_stream_store").toString
+    VectorIndex.writeLshStore(spark, sfDir, path)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+
+    val dir = Files.createTempDirectory("lsh_vec_stream").toString
+    Seq((3000000L, 8, qv.toSeq), (3000001L, 9, qv.toSeq))
+      .toDF("vec_id", "label", "embedding")
+      .repartition(2)
+      .write.mode("overwrite").json(dir)
+
+    val q = graft.streaming.StoreStream.ingestLsh(spark, dir, path,
+      startGen = 1L,
+      checkpointDir = Files.createTempDirectory("lsh_stream_ckpt").toString)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val top = VectorIndex.searchLshStore(spark, path, qv, k = 2,
+      probeHamming = fullProbe, filter = Some(col("vec_id") =!= 0L)).collect()
+    assert(top.map(_.getLong(0)).toSet == Set(3000000L, 3000001L))
+    assert(top.forall(_.getDouble(3) == 1.0))
+  }
+
   test("lsh store single-gen fast path: no exchange fresh, resolution after append, restored by compact") {
     import spark.implicits._
     val path = Files.createTempDirectory("lsh_singlegen").toString
