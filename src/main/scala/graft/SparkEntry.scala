@@ -173,6 +173,40 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY score DESC, e.vec_id
         |LIMIT 10""".stripMargin,
+    // the greedy MMR selection replayed exactly: candidates = top-fetchK
+    // by 4dp score, then a recursive CTE picks argmax of
+    // λ·rel − (1−λ)·max-pairwise-similarity per step, with BOTH objective
+    // inputs on the 1e-4 grid (the Spark side rounds its diversity term
+    // the same way) and ties broken by candidate rank — so the selection
+    // path, not just the final set, is engine-independent
+    "knn_mmr" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT vec_id, label, emb, score,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS INTEGER) AS rnk
+        |  FROM (
+        |    SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS emb,
+        |      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+        |    FROM embeddings e
+        |    CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
+        |    WHERE e.vec_id <> 0)
+        |  ORDER BY score DESC, vec_id
+        |  LIMIT 50),
+        |sel(step, vec_id, label, score, sel_ids) AS (
+        |  (SELECT 1, vec_id, label, score, [vec_id] FROM cand ORDER BY rnk LIMIT 1)
+        |  UNION ALL
+        |  SELECT s.step + 1, c.vec_id, c.label, c.score, list_append(s.sel_ids, c.vec_id)
+        |  FROM sel s, LATERAL (
+        |    SELECT c2.vec_id, c2.label, c2.score
+        |    FROM cand c2
+        |    WHERE NOT list_contains(s.sel_ids, c2.vec_id)
+        |    ORDER BY 0.5 * c2.score - 0.5 * (
+        |        SELECT max(FLOOR(list_cosine_similarity(c2.emb, c3.emb) * 10000 + 0.5) / 10000.0)
+        |        FROM cand c3 WHERE list_contains(s.sel_ids, c3.vec_id)) DESC,
+        |      c2.rnk
+        |    LIMIT 1) c
+        |  WHERE s.step < 10)
+        |SELECT vec_id, label, score, CAST(step AS INTEGER) AS mmr_rank
+        |FROM sel ORDER BY mmr_rank""".stripMargin,
     "knn_filtered_json" ->
       """SELECT e.vec_id, e.label, d.source,
         |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score

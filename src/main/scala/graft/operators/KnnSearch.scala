@@ -258,10 +258,16 @@ object KnnSearch {
       cand: Array[(Long, Int, Array[Double], Double)],
       k: Int,
       lambdaMult: Double): DataFrame = {
-    def cos(a: Array[Double], b: Array[Double]): Double = {
+    // the pairwise diversity term is rounded to 4dp like every other
+    // similarity in the suite (floor(x·1e4+0.5)/1e4 — the explicit form
+    // that is identical in DuckDB): with both objective inputs on the
+    // 1e-4 grid, the greedy argmax decisions are reproducible across
+    // engines, which is what lets knn_mmr carry a hash-matching
+    // recursive-CTE oracle instead of a rows-only check
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / math.sqrt(na * nb)
+      math.floor(dot / math.sqrt(na * nb) * 10000.0 + 0.5) / 10000.0
     }
 
     val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -271,7 +277,7 @@ object KnnSearch {
         val rel = cand(i)._4
         val div =
           if (selected.isEmpty) 0.0
-          else selected.map(j => cos(cand(i)._3, cand(j)._3)).max
+          else selected.map(j => cos4(cand(i)._3, cand(j)._3)).max
         // ties resolved toward the smaller vec_id (maxBy keeps the first
         // maximum; remaining iterates in candidate-rank order)
         lambdaMult * rel - (1 - lambdaMult) * div
