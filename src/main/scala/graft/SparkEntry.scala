@@ -120,6 +120,56 @@ object SparkEntry {
       |  WHERE w.doc_id <> 0
       |  GROUP BY 1)""".stripMargin
 
+  /** Shared oracle for the LSH-store search queries: replays signature
+    * computation, flip-cost multi-probe selection (budget 37 = the
+    * hamming≤2 ball of 8 planes), and the pruned exact top-k, from the
+    * same deterministic plane constants the store was built with.
+    * `extraFilter` composes the metadata predicate (the store's metadata
+    * column is built from `documents`, so `d.lang` is the same value
+    * get_json_object reads on the Spark side). */
+  private def lshStoreOracleSql(extraFilter: String): String = {
+    val planes = graft.functions.IndexOps.hyperplanes(8, 64)
+    def lst(p: Array[Float]): String =
+      p.map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    val dotTerms = planes.map(p =>
+      s"list_inner_product(CAST(embedding AS DOUBLE[]), ${lst(p)})")
+    val sigExpr = dotTerms.zipWithIndex
+      .map { case (d, i) => s"(CASE WHEN $d > 0 THEN ${1 << i} ELSE 0 END)" }
+      .mkString("\n    + ")
+    val qDots = planes.zipWithIndex
+      .map { case (p, i) => s"list_inner_product(qv, ${lst(p)}) AS d$i" }
+      .mkString(",\n    ")
+    val qSigExpr = (0 until 8)
+      .map(i => s"(CASE WHEN d$i > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    // left-to-right accumulation in plane order, same as the Scala loop
+    val costExpr = (0 until 8)
+      .map(i => s"(CASE WHEN (xor(r.b, qsig) >> $i) & 1 = 1 THEN abs(d$i) ELSE 0.0 END)")
+      .mkString("\n      + ")
+    s"""WITH q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |m AS (
+       |  SELECT $qDots
+       |  FROM q),
+       |ms AS (SELECT *, $qSigExpr AS qsig FROM m),
+       |probes AS (
+       |  SELECT CAST(r.b AS INTEGER) AS b FROM range(256) r(b), ms
+       |  ORDER BY $costExpr,
+       |    r.b
+       |  LIMIT 37),
+       |sigs AS (
+       |  SELECT e.vec_id, e.label, e.embedding,
+       |    $sigExpr AS bucket
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |  WHERE e.vec_id <> 0 $extraFilter)
+       |SELECT s.vec_id, s.label, CAST(s.bucket AS INTEGER) AS bucket,
+       |  ROUND(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), q.qv), 4) AS score
+       |FROM sigs s, q
+       |WHERE s.bucket IN (SELECT b FROM probes)
+       |ORDER BY score DESC, s.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "knn_cosine" ->
       """SELECT e.vec_id, e.label,
@@ -678,6 +728,16 @@ object SparkEntry {
         |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // the LSH STORE search replayed end to end: the store's 8-plane
+    // signatures, the query margins, the flip-cost-ordered multi-probe
+    // set (budget = the hamming<=2 ball, ties by bucket id), and the
+    // exact top-k over the probed buckets — all from the same inlined
+    // plane constants. Margin sums accumulate left-to-right in plane
+    // order on both sides, so the probe SET (not just the result) is
+    // engine-independent.
+    "lsh_search" -> lshStoreOracleSql(extraFilter = ""),
+    "lsh_filtered_json" -> lshStoreOracleSql(
+      extraFilter = "AND d.lang = 'en'"),
     // the hyperplanes are deterministic model state (SplitMix64, seed 7),
     // so they inline as DOUBLE list literals (float→double is exact and
     // Scala's shortest-round-trip repr parses back bit-identically) and
