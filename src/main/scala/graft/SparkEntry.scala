@@ -170,6 +170,78 @@ object SparkEntry {
        |LIMIT 10""".stripMargin
   }
 
+  /** Shared CTE chain for the IVF oracles: replays the FULL deterministic
+    * k-means — quantization to the 2^20 fixed-point grid, seed selection
+    * (k smallest vec_ids), five Lloyd iterations of integer-distance
+    * assignment + half-up integer-mean update — then the final assignment
+    * every store row carries. Works because every arithmetic step on the
+    * Spark side is integer (order-independent sums, exact argmin with the
+    * tie to the smaller centroid id), so trained model state is no longer
+    * engine-dependent: DuckDB reaches bit-identical centroids. 64 = the
+    * embedding dim of the test tables; 16 = K; 5 = Iters
+    * (VectorIndex.scala). */
+  private def ivfModelCtes: String = {
+    val iters = (1 to 5).map { t =>
+      s"""d$t AS (
+         |  SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS dd
+         |  FROM eq e JOIN c${t - 1} c USING (dim) GROUP BY 1, 2),
+         |a$t AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+         |    FROM d$t) WHERE rn = 1),
+         |u$t AS (
+         |  SELECT a.cid, e.dim,
+         |    CAST(floor((2.0 * sum(e.q) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cq
+         |  FROM a$t a JOIN eq e USING (vec_id) GROUP BY 1, 2),
+         |c$t AS (
+         |  SELECT c.cid, c.dim, coalesce(u.cq, c.cq) AS cq
+         |  FROM c${t - 1} c LEFT JOIN u$t u ON c.cid = u.cid AND c.dim = u.dim)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""eq AS (
+       |  SELECT e.vec_id, r.i AS dim,
+       |    CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1048576.0 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM embeddings e, range(64) r(i)),
+       |seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |c0 AS (SELECT s.cid, e.dim, e.q AS cq FROM seeds s JOIN eq e USING (vec_id)),
+       |$iters,
+       |fd AS (
+       |  SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS dd
+       |  FROM eq e JOIN c5 c USING (dim) GROUP BY 1, 2),
+       |fa AS (
+       |  SELECT vec_id, cid, dd FROM (
+       |    SELECT vec_id, cid, dd,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+       |    FROM fd) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Oracle for the IVF STORE searches: [[ivfModelCtes]] + the nprobe=4
+    * probe set (integer L2 to the trained centroids, ties to the smaller
+    * id — the same fixed-point grid the driver-side probe selection uses)
+    * + the pruned exact top-k. `docJoin`/`extraFilter` compose the label /
+    * JSON-metadata predicates of the filtered variants. */
+  private def ivfStoreOracleSql(
+      docJoin: String, extraFilter: String, tail: String): String =
+    s"""WITH RECURSIVE $ivfModelCtes,
+       |qq AS (SELECT dim, q FROM eq WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, sum((c.cq - q.q) * (c.cq - q.q)) AS dd
+       |    FROM c5 c JOIN qq q USING (dim) GROUP BY 1)
+       |  ORDER BY dd, cid LIMIT 4),
+       |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id, e.label, f.cid AS centroid_id,
+       |    CAST(e.embedding AS DOUBLE[]) AS emb,
+       |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v), 4) AS score
+       |  FROM fa f JOIN embeddings e USING (vec_id) $docJoin, qv
+       |  WHERE f.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0 $extraFilter)
+       |$tail""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "knn_cosine" ->
       """SELECT e.vec_id, e.label,
@@ -738,6 +810,62 @@ object SparkEntry {
     "lsh_search" -> lshStoreOracleSql(extraFilter = ""),
     "lsh_filtered_json" -> lshStoreOracleSql(
       extraFilter = "AND d.lang = 'en'"),
+    // the IVF family replayed end to end: the fixed-point k-means of
+    // ivfModelCtes reaches bit-identical centroids (integer sums carry no
+    // accumulation-order dependence), so the build assignment, the probe
+    // set, and the pruned top-k are all engine-independent.
+    "ivf_build" ->
+      s"""WITH $ivfModelCtes
+         |SELECT e.vec_id, e.label, f.cid AS centroid_id,
+         |  ROUND(sqrt(CAST(f.dd AS DOUBLE)) / 1048576.0, 4) AS dist
+         |FROM fa f JOIN embeddings e USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin,
+    "ivf_search" -> ivfStoreOracleSql(
+      docJoin = "", extraFilter = "",
+      tail = """SELECT vec_id, label, centroid_id, score FROM cand
+               |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
+    "knn_filtered_ivf" -> ivfStoreOracleSql(
+      docJoin = "", extraFilter = "AND e.label = 3",
+      tail = """SELECT vec_id, label, centroid_id, score FROM cand
+               |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
+    "knn_filtered_ivf_json" -> ivfStoreOracleSql(
+      docJoin = "JOIN documents d ON e.vec_id = d.doc_id",
+      extraFilter = "AND d.lang = 'en'",
+      tail = """SELECT vec_id, label, centroid_id, score FROM cand
+               |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin),
+    "knn_threshold_ivf" -> ivfStoreOracleSql(
+      docJoin = "", extraFilter = "",
+      tail = """SELECT vec_id, label, centroid_id, score FROM cand
+               |WHERE score >= 0.2
+               |ORDER BY score DESC, vec_id""".stripMargin),
+    // the store-probed MMR: fetchK=50 candidates from the probed
+    // partitions, then the same recursive-CTE greedy replay as knn_mmr
+    // (diversity on the 1e-4 grid, argmax ties to the better-ranked
+    // candidate)
+    "knn_mmr_ivf" -> ivfStoreOracleSql(
+      docJoin = "", extraFilter = "",
+      tail = """,
+               |mcand AS (
+               |  SELECT vec_id, label, emb, score,
+               |    CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INTEGER) AS rnk
+               |  FROM (SELECT * FROM cand ORDER BY score DESC, vec_id LIMIT 50)),
+               |sel(step, vec_id, label, score, sel_ids) AS (
+               |  (SELECT 1, vec_id, label, score, [vec_id] FROM mcand ORDER BY rnk LIMIT 1)
+               |  UNION ALL
+               |  SELECT s.step + 1, c.vec_id, c.label, c.score,
+               |    list_append(s.sel_ids, c.vec_id)
+               |  FROM sel s, LATERAL (
+               |    SELECT c2.vec_id, c2.label, c2.score
+               |    FROM mcand c2
+               |    WHERE NOT list_contains(s.sel_ids, c2.vec_id)
+               |    ORDER BY 0.5 * c2.score - 0.5 * (
+               |        SELECT max(FLOOR(list_cosine_similarity(c2.emb, c3.emb) * 10000 + 0.5) / 10000.0)
+               |        FROM mcand c3 WHERE list_contains(s.sel_ids, c3.vec_id)) DESC,
+               |      c2.rnk
+               |    LIMIT 1) c
+               |  WHERE s.step < 10)
+               |SELECT vec_id, label, score, CAST(step AS INTEGER) AS mmr_rank
+               |FROM sel ORDER BY mmr_rank""".stripMargin),
     // the hyperplanes are deterministic model state (SplitMix64, seed 7),
     // so they inline as DOUBLE list literals (float→double is exact and
     // Scala's shortest-round-trip repr parses back bit-identically) and

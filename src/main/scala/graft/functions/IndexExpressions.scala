@@ -15,21 +15,44 @@ import org.apache.spark.sql.types._
   * shape (SURVEY §6). One codegen'd scan assigns / signs the whole corpus.
   */
 object IndexOps {
-  /** index of the L2-nearest centroid; result packs (idx, dist). */
-  def nearestCentroid(v: ArrayData, centroids: Array[Array[Float]]): InternalRow = {
+  /** Fixed-point scale for the IVF geometry (2^20). Assignment and
+    * training arithmetic run over `floor(v * 2^20 + 0.5)` Longs: every
+    * step of that quantization is exact in IEEE doubles (float→double is
+    * exact, the scale is a power of two so the multiply only shifts the
+    * exponent, and the +0.5/floor pair is the explicit half-up form), so
+    * the quantized values — and therefore every distance comparison, every
+    * argmin, and every order-independent integer SUM built from them — are
+    * bit-identical on any engine. This is what lets the trained centroids,
+    * the build assignment, and the probe selection all carry replaying
+    * SQL oracles instead of rows-only checks (distributed FLOAT sums have
+    * nondeterministic accumulation order; integer sums do not). */
+  final val QScale = 1048576.0
+  final val QScaleL = 1048576L
+
+  def quantize(v: Double): Long = math.floor(v * QScale + 0.5).toLong
+  def quantizeMatrix(m: Array[Array[Float]]): Array[Array[Long]] =
+    m.map(_.map(f => quantize(f.toDouble)))
+
+  /** index of the L2-nearest centroid over the quantized grid; result
+    * packs (idx, dist) with dist de-scaled back to embedding units.
+    * Ties break toward the smaller centroid id (strict `<`). */
+  def nearestCentroid(v: ArrayData, centroidsQ: Array[Array[Long]]): InternalRow = {
     val x = v.toFloatArray()
+    val q = new Array[Long](x.length)
+    var i = 0
+    while (i < x.length) { q(i) = quantize(x(i).toDouble); i += 1 }
     var best = -1
-    var bestD = Double.MaxValue
+    var bestD = Long.MaxValue
     var c = 0
-    while (c < centroids.length) {
-      val ctr = centroids(c)
-      var s = 0.0
-      var i = 0
-      while (i < x.length) { val d = x(i).toDouble - ctr(i); s += d * d; i += 1 }
+    while (c < centroidsQ.length) {
+      val ctr = centroidsQ(c)
+      var s = 0L
+      i = 0
+      while (i < x.length) { val d = q(i) - ctr(i); s += d * d; i += 1 }
       if (s < bestD) { bestD = s; best = c }
       c += 1
     }
-    InternalRow(best, math.sqrt(bestD))
+    InternalRow(best, math.sqrt(bestD.toDouble) / QScale)
   }
 
   /** sign-bit signature over random hyperplanes (bit i = dot(v, plane_i) > 0). */
@@ -67,15 +90,17 @@ object IndexOps {
   * centroid matrix. */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     extends UnaryExpression with ExpectsInputTypes {
+  // the comparison grid: centroids quantized once per expression instance
+  @transient private lazy val centroidsQ = IndexOps.quantizeMatrix(centroids)
   override def prettyName: String = "nearest_centroid"
   override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = StructType(Seq(
     StructField("centroid_id", IntegerType, nullable = false),
     StructField("dist", DoubleType, nullable = false)))
   override def nullSafeEval(a: Any): Any =
-    IndexOps.nearestCentroid(a.asInstanceOf[ArrayData], centroids)
+    IndexOps.nearestCentroid(a.asInstanceOf[ArrayData], centroidsQ)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val m = ctx.addReferenceObj("centroidsQ", centroidsQ, "long[][]")
     defineCodeGen(ctx, ev, c => s"graft.functions.IndexOps.nearestCentroid($c, $m)")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

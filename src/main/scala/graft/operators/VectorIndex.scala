@@ -45,7 +45,18 @@ object VectorIndex {
 
   /** The Lloyd loop over any (vec_id, embedding) frame — shared by the
     * sfDir-keyed trainer above and [[compactStore]]'s retrain path (which
-    * trains on the store's own live rows). */
+    * trains on the store's own live rows).
+    *
+    * The arithmetic is fixed-point over [[IndexOps.QScale]] Longs:
+    * assignment compares integer squared distances (exact, tie to the
+    * smaller id) and the update SUMS the quantized coordinates — an
+    * integer sum is associative-commutative, so the result is independent
+    * of partitioning and accumulation order. The new coordinate is the
+    * half-up integer mean `floorDiv(2s + n, 2n)`, de-scaled to float
+    * (exact: |cq| < 2^24). Every run of this trainer — any cluster size,
+    * any partitioning, any engine that replays the same integer steps —
+    * produces bit-identical centroids, which is what upgrades the whole
+    * IVF query family from rows-only checks to hash-matching SQL oracles. */
   private def trainLloyd(embIn: DataFrame): Array[Array[Float]] = {
     val emb = embIn.select(col("vec_id"), col("embedding"))
     var centroids: Array[Array[Float]] = emb
@@ -63,12 +74,14 @@ object VectorIndex {
             .getField("centroid_id").as("cid"), col("embedding"))
           .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
           .groupBy(col("cid"), col("dim"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .agg(sum(floor(col("v").cast("double") * IndexOps.QScale + 0.5)
+            .cast("long")).as("s"), count(lit(1)).as("n"))
           .collect()
         val next = centroids.map(_.clone())
         sums.foreach { r =>
-          val cid = r.getInt(0)
-          next(cid)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+          val cq = Math.floorDiv(2L * r.getLong(2) + r.getLong(3),
+            2L * r.getLong(3))
+          next(r.getInt(0))(r.getInt(1)) = (cq.toDouble / IndexOps.QScale).toFloat
         }
         centroids = next
       }
@@ -150,18 +163,21 @@ object VectorIndex {
   private def nearestCentroidIds(
       centroids: Array[Array[Float]],
       queryVec: Array[Float],
-      nprobe: Int): Seq[Int] =
-    centroids.zipWithIndex
+      nprobe: Int): Seq[Int] = {
+    // same fixed-point grid as assignment/training: the probe SET is part
+    // of the oracle-replayed contract, so it must be engine-independent
+    val cq = IndexOps.quantizeMatrix(centroids)
+    val qq = queryVec.map(v => IndexOps.quantize(v.toDouble))
+    cq.zipWithIndex
       .map { case (c, i) =>
-        var s = 0.0
+        var s = 0L
         var d = 0
-        while (d < queryVec.length) {
-          val t = queryVec(d).toDouble - c(d); s += t * t; d += 1
-        }
+        while (d < qq.length) { val t = qq(d) - c(d); s += t * t; d += 1 }
         (i, s)
       }
       .sortBy { case (i, s) => (s, i) }
       .take(nprobe).map(_._1).toSeq
+  }
 
   // ---- single-generation manifest -----------------------------------
   // A marker file records whether the store is known to hold exactly one
