@@ -57,7 +57,7 @@ object VectorIndex {
     * any partitioning, any engine that replays the same integer steps —
     * produces bit-identical centroids, which is what upgrades the whole
     * IVF query family from rows-only checks to hash-matching SQL oracles. */
-  private def trainLloyd(embIn: DataFrame): Array[Array[Float]] = {
+  private[graft] def trainLloyd(embIn: DataFrame): Array[Array[Float]] = {
     val emb = embIn.select(col("vec_id"), col("embedding"))
     var centroids: Array[Array[Float]] = emb
       .orderBy(col("vec_id"))
