@@ -46,6 +46,7 @@ object SparkEntry {
     "events_session_window" -> ((s, d) => Analytics.sessionWindow(s, d)),
     "events_props_json" -> ((s, d) => Analytics.eventsPropsJson(s, d)),
     "events_rolling" -> ((s, d) => Analytics.eventsRolling(s, d)),
+    "events_asof" -> ((s, d) => Analytics.eventsAsof(s, d)),
     // --- text analysis (training-data pipeline) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tokens_bpe" -> ((s, d) => TextAnalysis.tokensBpe(s, d)),
@@ -346,6 +347,19 @@ object SparkEntry {
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_window
         |FROM events
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    // as-of semantics pinned explicitly: join + QUALIFY argmax instead of
+    // DuckDB's native ASOF JOIN, whose equal-key tie choice is unspecified
+    "events_asof" ->
+      """SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  p.event_id AS p_event_id, epoch_us(p.ts) AS p_ts_us,
+        |  ROUND(p.value, 2) AS p_value,
+        |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC) = 1
+        |ORDER BY click_id""".stripMargin,
     "events_props_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  FLOOR(avg(k) * 10000 + 0.5) / 10000.0 AS avg_k,

@@ -200,6 +200,47 @@ object Analytics {
     * path). `get_json_object` runs inside the scan stage, so the predicate
     * prunes rows before the shuffle; the parquet scan reads only the
     * columns used (props, event_type, value). */
+  /** As-of join: every `click` event picks up the same user's most recent
+    * `purchase` at-or-before it (p.ts <= c.ts; ties on ts, then event_id,
+    * resolve to the LARGEST — the most recent purchase wins).
+    *
+    * Spark has no native as-of join, and the probe-join formulation
+    * (clicks ⋈ purchases ON user + ts-range, then keep the max) explodes
+    * to O(clicks × purchases) rows per user before pruning. The scalable
+    * shape is union + running `last(_, ignoreNulls)`: both event streams
+    * shuffle ONCE on user_id, sort (ts, kind, event_id) with purchases
+    * before clicks at equal ts so a simultaneous purchase is visible, and
+    * the running frame folds incrementally — shuffle volume is the input
+    * row count, per-task state is one frame, skew is bounded by natural
+    * per-user volume. The oracle replays the semantics with an explicit
+    * join + QUALIFY argmax (DuckDB's native ASOF JOIN leaves equal-key
+    * ties unspecified, so the oracle pins them instead). */
+  def eventsAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), when(isPurchase, 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, sfDir)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(isPurchase, col("event_id")).as("pe"),
+        when(isPurchase, unix_micros(col("ts"))).as("pt"),
+        when(isPurchase, col("value")).as("pv"))
+      .withColumn("p_event_id", last(col("pe"), ignoreNulls = true).over(w))
+      .withColumn("p_ts_us", last(col("pt"), ignoreNulls = true).over(w))
+      .withColumn("p_value0", last(col("pv"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "click")
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("p_event_id"), col("p_ts_us"),
+        round(col("p_value0"), 2).as("p_value"),
+        (unix_micros(col("ts")) - col("p_ts_us")).as("gap_us"))
+      .orderBy(col("click_id"))
+  }
+
   def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .withColumn("k",
