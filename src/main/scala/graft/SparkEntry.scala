@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusterAssign(s, d)),
+    "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     // --- ANN index structures (rows-only oracles) ---
@@ -128,6 +129,40 @@ object SparkEntry {
     * `extraFilter` composes the metadata predicate (the store's metadata
     * column is built from `documents`, so `d.lang` is the same value
     * get_json_object reads on the Spark side). */
+  /** Shared CTE chain replaying the near-dup cluster construction: 5-gram
+    * shingles → capped candidate pairs → Jaccard >= 0.8 edges → recursive
+    * transitive closure (`reach`). Used by dedup_clusters and
+    * dedup_keep_best; the consumer must open `WITH RECURSIVE`. */
+  private val clusterCtes: String =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+      |     FOR i IN range(1, len(s) - 3)]) AS shingles
+      |  FROM (SELECT doc_id,
+      |          string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ') AS s
+      |        FROM documents)
+      |  WHERE len(s) >= 5),
+      |e2 AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+      |cap AS (
+      |  SELECT shingle FROM e2 GROUP BY shingle HAVING count(*) <= 1000),
+      |p2 AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+      |    count(*) AS common
+      |  FROM e2 a
+      |  JOIN cap ON cap.shingle = a.shingle
+      |  JOIN e2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4),
+      |pr AS (
+      |  SELECT doc_a, doc_b FROM p2
+      |  WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.8),
+      |ed AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pr
+      |  UNION SELECT doc_b, doc_a FROM pr),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM ed
+      |  UNION
+      |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a)""".stripMargin
+
   private def lshStoreOracleSql(extraFilter: String): String = {
     val planes = graft.functions.IndexOps.hyperplanes(8, 64)
     def lst(p: Array[Float]): String =
@@ -784,36 +819,36 @@ object SparkEntry {
     // symmetric edge list) and takes min-reachable-id per node — the same
     // contract the iterative min-label propagation converges to
     "dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(
-        |    [s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
-        |     FOR i IN range(1, len(s) - 3)]) AS shingles
-        |  FROM (SELECT doc_id,
-        |          string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ') AS s
-        |        FROM documents)
-        |  WHERE len(s) >= 5),
-        |e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
-        |cap AS (
-        |  SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= 1000),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
-        |    count(*) AS common
-        |  FROM e a
-        |  JOIN cap ON cap.shingle = a.shingle
-        |  JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4),
-        |pr AS (
-        |  SELECT doc_a, doc_b FROM p
-        |  WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.8),
-        |ed AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pr
-        |  UNION SELECT doc_b, doc_a FROM pr),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM ed
-        |  UNION
-        |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a)
-        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterCtes
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // keep-best: cluster replay + quality replay + per-cluster argmax
+    // (quality is on the 4dp grid on both sides, so the argmax — and
+    // therefore every keep bit — is engine-independent)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |cl AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a),
+         |q AS (
+         |  SELECT doc_id,
+         |    FLOOR((0.5 * least(1.0, len(toks) / 60.0)
+         |        + 0.3 * (1.0 - n_stop / CAST(len(toks) AS DOUBLE))
+         |        + 0.2 * least(1.0, (length(text) / CAST(len(toks) AS DOUBLE)) / 8.0))
+         |      * 10000 + 0.5) / 10000.0 AS quality
+         |  FROM (
+         |    SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         |      len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         |        t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS n_stop
+         |    FROM documents)),
+         |j AS (
+         |  SELECT q.doc_id, coalesce(cl.cluster_id, q.doc_id) AS cluster_id, q.quality
+         |  FROM q LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, cluster_id, quality,
+         |  CASE WHEN row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1
+         |  THEN 1 ELSE 0 END AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
     // the LSH STORE search replayed end to end: the store's 8-plane
     // signatures, the query margins, the flip-cost-ordered multi-probe
     // set (budget = the hamming<=2 ball, ties by bucket id), and the

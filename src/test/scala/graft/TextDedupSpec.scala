@@ -173,4 +173,35 @@ class TextDedupSpec extends SparkSpec {
     val sizes = got.groupBy(_._2).map(_._2.size)
     assert(sizes.max >= 2)
   }
+
+  test("keep-best keeps exactly the top-quality member per cluster") {
+    val rows = Dedup.keepBest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "every document gets a verdict")
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._4 == 1) == 1, s"cluster $cid keeps exactly one")
+      val keeper = members.find(_._4 == 1).get
+      val best = members.minBy(m => (-m._3, m._1)) // max quality, tie min id
+      assert(keeper._1 == best._1,
+        s"cluster $cid kept ${keeper._1}, best is ${best._1}")
+    }
+    // singletons (docs outside the pair graph) are their own keeper
+    val graph = Dedup.clusterAssign(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    rows.filterNot(r => graph(r._1)).foreach { r =>
+      assert(r._2 == r._1 && r._4 == 1, s"singleton ${r._1} must self-keep")
+    }
+    // and the near-dup clusters actually drop something
+    assert(rows.count(_._4 == 0) > 0, "duplicate-heavy corpus must drop docs")
+  }
+
+  test("keep-best never shuffles the corpus on cluster_id") {
+    val plan = Dedup.keepBest(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the verdict join-back must broadcast; the only windows allowed are
+    // over the (small) pair-graph branch
+    assert(plan.contains("BroadcastHashJoin"),
+      s"verdict join-back should broadcast:\n$plan")
+  }
 }
