@@ -59,6 +59,7 @@ object SparkEntry {
     "corpus_stats" -> ((s, d) => CorpusOps.stats(s, d)),
     "corpus_sample" -> ((s, d) => CorpusOps.sample(s, d)),
     "corpus_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
+    "corpus_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     // --- deduplication (training-data pipeline) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -822,6 +823,26 @@ object SparkEntry {
       s"""WITH RECURSIVE $clusterCtes
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // decontamination oracle replays the 8-gram overlap on STRING grams
+    // (the Spark side uses 61-bit rolling-hash folds; fold equality ≡
+    // string equality, same contract the jaccard oracles verify)
+    "corpus_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' ||
+        |     s[i+4] || ' ' || s[i+5] || ' ' || s[i+6] || ' ' || s[i+7]
+        |     FOR i IN range(1, len(s) - 6)]) AS grams
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ') AS s
+        |        FROM documents)
+        |  WHERE len(s) >= 8),
+        |g AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS gram FROM sh),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+        |SELECT doc_id, count(*) AS n_hit,
+        |  FLOOR(count(*) / CAST(n_sh AS DOUBLE) * 10000 + 0.5) / 10000.0 AS hit_frac
+        |FROM g JOIN ev USING (gram)
+        |WHERE doc_id % 7 <> 0
+        |GROUP BY doc_id, n_sh ORDER BY doc_id""".stripMargin,
     // keep-best: cluster replay + quality replay + per-cluster argmax
     // (quality is on the 4dp grid on both sides, so the argmax — and
     // therefore every keep bit — is engine-independent)

@@ -196,6 +196,32 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.count(_._4 == 0) > 0, "duplicate-heavy corpus must drop docs")
   }
 
+  test("decontamination equals a brute-force string 8-gram overlap") {
+    val got = Dedup.decontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // driver-side reference on string grams (the Spark side uses hash folds)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.trim.split("\\s+").toSeq)
+    def grams(toks: Seq[String]): Set[Seq[String]] =
+      if (toks.length < 8) Set.empty else toks.sliding(8).map(_.toSeq).toSet
+    val evalGrams = docs.filter(_._1 % 7 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % 7 != 0).flatMap { case (id, toks) =>
+      val hits = grams(toks).count(evalGrams.contains)
+      if (hits > 0) Some(id -> hits.toLong) else None
+    }.toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(got.nonEmpty, "the gate is vacuous if nothing is contaminated")
+  }
+
+  test("decontamination broadcasts the eval grams — corpus side stays put") {
+    val plan = Dedup.decontaminate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval-gram join must broadcast:\n$plan")
+  }
+
   test("keep-best never shuffles the corpus on cluster_id") {
     val plan = Dedup.keepBest(spark, sfDir)
       .queryExecution.executedPlan.toString
