@@ -60,6 +60,7 @@ object SparkEntry {
     "corpus_sample" -> ((s, d) => CorpusOps.sample(s, d)),
     "corpus_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
     "corpus_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "corpus_mix" -> ((s, d) => CorpusOps.mix(s, d)),
     // --- deduplication (training-data pipeline) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -634,6 +635,32 @@ object SparkEntry {
         |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS fp
         |  FROM documents)
         |WHERE fp % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+    // temperature mixture: per-lang thresholds derive via integer-exact
+    // arithmetic from the counts (isqrt weights, DIV), keep test replays
+    // the fingerprint mod — every kept doc_id is engine-independent
+    "corpus_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(text, '.')]),
+        |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT)
+        |      % 1000000 AS bucket
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS n_l FROM d GROUP BY lang),
+        |m AS (
+        |  SELECT lang, n_l,
+        |    CAST(floor(sqrt(CAST(n_l AS DOUBLE))) AS BIGINT) AS w,
+        |    sum(CAST(floor(sqrt(CAST(n_l AS DOUBLE))) AS BIGINT)) OVER () AS sw,
+        |    sum(n_l) OVER () AS n_total
+        |  FROM c),
+        |t AS (
+        |  SELECT lang,
+        |    least(1000000, (1000000 * (n_total // 2) * w) // (sw * n_l)) AS threshold
+        |  FROM m)
+        |SELECT d.doc_id, d.lang, d.bucket
+        |FROM d JOIN t USING (lang)
+        |WHERE d.bucket < t.threshold
         |ORDER BY doc_id""".stripMargin,
     "corpus_pack" ->
       """SELECT lang, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,

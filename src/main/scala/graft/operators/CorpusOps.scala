@@ -123,4 +123,42 @@ object CorpusOps {
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("lang"), col("bin"))
   }
+
+  /** Temperature-scaled mixture sampling (the multilingual-pretraining
+    * rebalance, α = 1/2): sampling weight per language ∝ √n_l, so
+    * low-resource languages keep a larger fraction of their documents
+    * while the corpus downsamples to ~half its size.
+    *
+    * Two passes, both scale-shaped: (1) a per-language COUNT (5-row
+    * aggregate); (2) a map-only keep decision `bucket < threshold(lang)`
+    * joined back by broadcast — the corpus itself never shuffles, exactly
+    * like [[sample]], but with the rates COMPUTED from corpus statistics
+    * instead of fixed.
+    *
+    * Everything after the counts is integer arithmetic so the oracle is
+    * engine-independent: w_l = ⌊√n_l⌋ (IEEE sqrt of an integer-valued
+    * double is correctly rounded, so the floor is exact on both engines),
+    * threshold_l = min(S, (S · ⌊N/2⌋ · w_l) DIV (Σw · n_l)) with
+    * S = 10⁶, and the keep test is `fingerprint mod S < threshold_l`.
+    * (At 100 TB row counts the triple product needs DECIMAL(38)/HUGEINT
+    * headroom — the Long form here is exact to n_l ≈ 10⁹.) */
+  def mix(spark: SparkSession, sfDir: String): DataFrame = {
+    val S = 1000000L
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        pmod(TextFunctions.polyFingerprint(col("text")), lit(S)).as("bucket"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val model = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_l")).as("n_total"))))
+      .withColumn("w", floor(sqrt(col("n_l").cast("double"))).cast("long"))
+      .withColumn("sw",
+        sum(col("w")).over(Window.partitionBy(lit(1))))
+      .withColumn("threshold", least(lit(S),
+        expr(s"($S * (n_total DIV 2) * w) DIV (sw * n_l)")))
+      .select(col("lang"), col("threshold"))
+    docs.join(broadcast(model), "lang")
+      .where(col("bucket") < col("threshold"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
 }

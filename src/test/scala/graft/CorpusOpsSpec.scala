@@ -49,4 +49,41 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(bins.nonEmpty)
   }
+
+  test("temperature mix matches a driver-side integer reference") {
+    import graft.functions.TextFunctions
+    val S = 1000000L
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        pmod(TextFunctions.polyFingerprint(col("text")), lit(S)).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val nL = docs.groupBy(_._2).map { case (l, d) => l -> d.length.toLong }
+    val w = nL.map { case (l, n) => l -> math.sqrt(n.toDouble).toLong }
+    val sw = w.values.sum
+    val nTarget = docs.length.toLong / 2
+    val threshold = nL.map { case (l, n) =>
+      l -> math.min(S, (S * nTarget * w(l)) / (sw * n))
+    }
+    val expected = docs.filter { case (_, l, b) => b < threshold(l) }
+      .map(_._1).sorted.toSeq
+    val got = CorpusOps.mix(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < docs.length, "mix must downsample")
+    // the temperature property: rarer languages keep a LARGER fraction
+    val kept = CorpusOps.mix(spark, sfDir).collect()
+      .groupBy(_.getString(1)).map { case (l, r) => l -> r.length.toLong }
+    val fracs = nL.toSeq.sortBy(_._2).map { case (l, n) =>
+      (l, n, kept.getOrElse(l, 0L).toDouble / n) }
+    val bigFrac = fracs.last._3   // most-resourced language
+    val smallFrac = fracs.head._3 // least-resourced language
+    assert(smallFrac > bigFrac,
+      s"α=1/2 must upweight rare langs: $fracs")
+  }
+
+  test("mix never shuffles the corpus — thresholds broadcast back") {
+    val plan = CorpusOps.mix(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold join must broadcast:\n$plan")
+  }
 }
