@@ -36,6 +36,7 @@ object SparkEntry {
     "store_stats" -> ((s, d) => KnnSearch.storeStats(s, d)),
     "rag_context" -> ((s, d) => RagContext.context(s, d)),
     "rag_text" -> ((s, d) => RagContext.contextFromText(s, d)),
+    "hybrid_rrf" -> ((s, d) => RagContext.hybridRrf(s, d)),
     // --- relational analytics ---
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_join" -> ((s, d) => Analytics.q3(s, d)),
@@ -47,6 +48,8 @@ object SparkEntry {
     "events_props_json" -> ((s, d) => Analytics.eventsPropsJson(s, d)),
     "events_rolling" -> ((s, d) => Analytics.eventsRolling(s, d)),
     "events_asof" -> ((s, d) => Analytics.eventsAsof(s, d)),
+    "events_funnel" -> ((s, d) => Analytics.eventsFunnel(s, d)),
+    "events_retention" -> ((s, d) => Analytics.eventsRetention(s, d)),
     // --- text analysis (training-data pipeline) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tokens_bpe" -> ((s, d) => TextAnalysis.tokensBpe(s, d)),
@@ -55,6 +58,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_featurize" -> ((s, d) => TextAnalysis.featurize(s, d)),
     "text_search" -> ((s, d) => TextAnalysis.textSearch(s, d)),
+    "doc_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
+    "bm25_search" -> ((s, d) => TextAnalysis.bm25(s, d)),
     // --- corpus ops (training-data pipeline: stats / sample / pack) ---
     "corpus_stats" -> ((s, d) => CorpusOps.stats(s, d)),
     "corpus_sample" -> ((s, d) => CorpusOps.sample(s, d)),
@@ -397,6 +402,49 @@ object SparkEntry {
         |QUALIFY row_number() OVER (
         |  PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC) = 1
         |ORDER BY click_id""".stripMargin,
+    // step qualification = presence among STRICTLY preceding rows in the
+    // per-user (ts, event_id) order — replayed with the same
+    // UNBOUNDED..1 PRECEDING running sums
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |c1 AS (
+        |  SELECT *,
+        |    CASE WHEN event_type = 'click' AND COALESCE(sum(is_view) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) > 0
+        |      THEN 1 ELSE 0 END AS qual_click
+        |  FROM e),
+        |c2 AS (
+        |  SELECT *,
+        |    CASE WHEN event_type = 'purchase' AND COALESCE(sum(qual_click) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) > 0
+        |      THEN 1 ELSE 0 END AS qual_purchase
+        |  FROM c1),
+        |u AS (
+        |  SELECT user_id, max(is_view) AS s1, max(qual_click) AS s2,
+        |    max(qual_purchase) AS s3
+        |  FROM c2 GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(s1) AS BIGINT) AS n_view,
+        |  CAST(sum(s2) AS BIGINT) AS n_click_after_view,
+        |  CAST(sum(s3) AS BIGINT) AS n_purchase_after_click,
+        |  FLOOR(CAST(sum(s2) AS BIGINT) / CAST(CAST(sum(s1) AS BIGINT) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS view_to_click,
+        |  FLOOR(CAST(sum(s3) AS BIGINT) / CAST(CAST(sum(s2) AS BIGINT) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS click_to_purchase
+        |FROM u""".stripMargin,
+    "events_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) // 7 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM a GROUP BY user_id)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS age_weeks,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "events_props_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  FLOOR(avg(k) * 10000 + 0.5) / 10000.0 AS avg_k,
@@ -597,6 +645,53 @@ object SparkEntry {
         |  FLOOR((CASE WHEN nrm > 0 THEN weight / nrm ELSE 0.0 END) * 10000 + 0.5) / 10000.0 AS unit_weight
         |FROM w JOIN n ON w.doc_id = n.doc_id
         |ORDER BY w.doc_id, w.dim""".stripMargin,
+    "doc_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    greatest(1, (length(text) - 30 + 89) // 90) AS n_chunks
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, text, unnest(range(n_chunks)) AS chunk_id FROM d)
+        |SELECT doc_id, chunk_id, chunk_id * 90 AS c_start,
+        |  substring(text, CAST(chunk_id * 90 + 1 AS INTEGER), 120) AS chunk,
+        |  length(substring(text, CAST(chunk_id * 90 + 1 AS INTEGER), 120)) AS c_len
+        |FROM x
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    // the lone transcendental (idf's ln) is pinned to 4dp on both sides
+    // BEFORE combination; every other factor is IEEE +,·,/ in the same
+    // spelled-out order, so the 4dp score is engine-independent
+    "bm25_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, len(tk) AS dl,
+        |    len(list_filter(tk, x -> x = 'spark')) AS tf0,
+        |    len(list_filter(tk, x -> x = 'merge')) AS tf1,
+        |    len(list_filter(tk, x -> x = 'vector')) AS tf2
+        |  FROM t),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM d),
+        |i AS (
+        |  SELECT n, sumdl,
+        |    floor(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * 10000 + 0.5) / 10000.0 AS idf0,
+        |    floor(ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * 10000 + 0.5) / 10000.0 AS idf1,
+        |    floor(ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * 10000 + 0.5) / 10000.0 AS idf2
+        |  FROM st)
+        |SELECT doc_id, dl, tf0 + tf1 + tf2 AS n_hit,
+        |  floor((
+        |    idf0 * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * (CAST(dl * n AS DOUBLE) / sumdl)))
+        |    + idf1 * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * (CAST(dl * n AS DOUBLE) / sumdl)))
+        |    + idf2 * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * (CAST(dl * n AS DOUBLE) / sumdl)))
+        |  ) * 10000 + 0.5) / 10000.0 AS score
+        |FROM d, i
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin,
     "text_search" ->
       (s"WITH $textSearchCtes\n" +
         """SELECT doc_id,
@@ -616,6 +711,38 @@ object SparkEntry {
           |  string_agg(d.text, '""".stripMargin + "\n\n" +
         """' ORDER BY t.score DESC, t.doc_id) AS context
           |FROM top t JOIN documents d ON d.doc_id = t.doc_id""".stripMargin),
+    // RRF fusion of the two deterministic top-20 lists; rank windows and
+    // the 1/(60+r) arithmetic replayed with the same op order both sides
+    "hybrid_rrf" ->
+      (s"WITH $textSearchCtes,\n" +
+        """tr AS (
+          |  SELECT doc_id,
+          |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS r_text
+          |  FROM (
+          |    SELECT doc_id,
+          |      FLOOR(dot / sqrt(CAST(norm2 AS DOUBLE) * CAST((SELECT qnorm2 FROM qn) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS score
+          |    FROM s
+          |    ORDER BY score DESC, doc_id
+          |    LIMIT 20)),
+          |vr AS (
+          |  SELECT vec_id AS doc_id,
+          |    CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INTEGER) AS r_vec
+          |  FROM (
+          |    SELECT e.vec_id,
+          |      ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+          |    FROM embeddings e
+          |    CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
+          |    WHERE e.vec_id <> 0
+          |    ORDER BY score DESC, e.vec_id
+          |    LIMIT 20))
+          |SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, r_text, r_vec,
+          |  FLOOR((
+          |    (CASE WHEN r_text IS NULL THEN 0.0 ELSE 1.0 / (r_text + 60) END)
+          |    + (CASE WHEN r_vec IS NULL THEN 0.0 ELSE 1.0 / (r_vec + 60) END)
+          |  ) * 10000 + 0.5) / 10000.0 AS rrf
+          |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+          |ORDER BY rrf DESC, doc_id
+          |LIMIT 10""".stripMargin),
     "corpus_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
         |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,

@@ -241,6 +241,73 @@ object Analytics {
       .orderBy(col("click_id"))
   }
 
+  /** Ordered funnel conversion over the event stream: view → click →
+    * purchase, each step required to happen STRICTLY AFTER the previous
+    * step's first qualifying event in the per-user (ts, event_id) order.
+    *
+    * The step qualifications are running sums over strictly-preceding
+    * rows (`rowsBetween(unboundedPreceding, -1)`), chained: a click
+    * qualifies when a view precedes it; a purchase qualifies when a
+    * QUALIFIED click precedes it. Counting presence among preceding rows
+    * (not comparing timestamps) makes simultaneous-timestamp ties follow
+    * the same deterministic (ts, event_id) order the oracle replays.
+    *
+    * Scale shape: ONE shuffle by user_id; the two chained Window stages
+    * share its partitioning and sort (no second exchange — Catalyst keeps
+    * required distribution satisfied), the per-user flag rollup reuses it
+    * again, and the final 1-row rollup is a map-side-partial aggregate. */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("is_view", when(col("event_type") === "view", 1L).otherwise(0L))
+      .withColumn("qual_click",
+        when(col("event_type") === "click" &&
+          coalesce(sum(col("is_view")).over(order), lit(0L)) > 0, 1L)
+          .otherwise(0L))
+      .withColumn("qual_purchase",
+        when(col("event_type") === "purchase" &&
+          coalesce(sum(col("qual_click")).over(order), lit(0L)) > 0, 1L)
+          .otherwise(0L))
+    val perUser = staged.groupBy(col("user_id")).agg(
+      max(col("is_view")).as("s1"),
+      max(col("qual_click")).as("s2"),
+      max(col("qual_purchase")).as("s3"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("s1")).as("n_view"),
+      sum(col("s2")).as("n_click_after_view"),
+      sum(col("s3")).as("n_purchase_after_click"),
+      TextAnalysis.round4(sum(col("s2")) / sum(col("s1"))).as("view_to_click"),
+      TextAnalysis.round4(sum(col("s3")) / sum(col("s2"))).as("click_to_purchase"))
+  }
+
+  /** Weekly cohort retention: cohort = a user's first active week (weeks
+    * are `epoch_day div 7` — pure integer arithmetic, engine-independent),
+    * retention cell = distinct users of cohort `c` active `age` weeks
+    * later.
+    *
+    * Scale shape: distinct (user, week) pairs first (one shuffle,
+    * map-side-partial — collapses the per-user event volume to ≤ weeks
+    * rows per user), then the cohort min and the cell counts reuse the
+    * user-keyed distribution; the cohort join is user-keyed against the
+    * already-distinct activity set, never against raw events. */
+  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val activity = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) div 86400000000) div 7").as("week"))
+      .distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
   def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .withColumn("k",

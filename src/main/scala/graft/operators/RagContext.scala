@@ -26,6 +26,49 @@ object RagContext {
   def contextFromText(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
     assemble(spark, sfDir, TextAnalysis.textSearch(spark, sfDir, k = k))
 
+  /** Hybrid retrieval by reciprocal-rank fusion — the standard production
+    * upgrade of the reference's vector-only /search (app.py:124): run the
+    * lexical ranker ([[TextAnalysis.textSearch]], query = doc 0's
+    * featurized text) and the vector ranker ([[KnnSearch.topK]], query =
+    * vec 0's embedding) side by side, fuse by
+    *   rrf(d) = 1/(c + rank_text(d)) + 1/(c + rank_vec(d)),   c = 60
+    * (Cormack et al., SIGIR'09), a doc absent from one list contributing 0
+    * from that side. Ranks are dense row numbers under each list's own
+    * deterministic total order (score desc, id).
+    *
+    * Scale shape: each side is its own shuffle-free scan →
+    * TakeOrderedAndProject (fetchK rows); everything after — rank windows,
+    * full outer join, fusion — runs over ≤ 2·fetchK rows, a bounded
+    * result-set computation like MMR's greedy stage. The corpus is scanned
+    * twice and never shuffled or joined. */
+  def hybridRrf(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      fetchK: Int = 20,
+      c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // single-partition windows are safe: each input is ≤ fetchK rows
+    val text = TextAnalysis.textSearch(spark, sfDir, k = fetchK)
+      .withColumn("r_text", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_text"))
+    val vec = KnnSearch.topK(spark, sfDir, KnnSearch.Cosine, k = fetchK)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("r_vec"))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_text"), col("r_vec"),
+        TextAnalysis.round4(
+          when(col("r_text").isNotNull,
+            lit(1.0) / (col("r_text") + lit(c))).otherwise(lit(0.0)) +
+          when(col("r_vec").isNotNull,
+            lit(1.0) / (col("r_vec") + lit(c))).otherwise(lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   private def assemble(
       spark: SparkSession, sfDir: String, top: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)

@@ -213,4 +213,99 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** RAG ingestion chunking — the document-splitting stage that feeds the
+    * reference store's `add_texts` path (app.py:24-47 indexes documents the
+    * LangChain loader has already split into retrieval-sized pieces; the
+    * splitter itself lives outside app.py, so the CONTRACT re-expressed
+    * here is the standard fixed-size sliding window with overlap).
+    *
+    * Chunk i covers characters `[i·step, i·step + size)` with
+    * `step = size − overlap`; starts are generated while they cut new text
+    * (`start < n − overlap`), so the final chunk is truncated rather than
+    * emitting a tail chunk fully contained in its predecessor, and every
+    * document yields at least one chunk.
+    *
+    * Scale shape: map-only — `sequence` + `explode` + `substring` inside
+    * one codegen'd scan stage; no shuffle, output ~n/step rows per doc.
+    * The chunk count is exact integer arithmetic (`(n − overlap + step − 1)
+    * div step`) so the oracle replays it without float parity risk. */
+  def chunk(
+      spark: SparkSession,
+      sfDir: String,
+      size: Int = 120,
+      overlap: Int = 30): DataFrame = {
+    val step = size - overlap
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .withColumn("n_chunks",
+        greatest(lit(1L),
+          expr(s"(n - $overlap + ${step - 1}) div $step")))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * step).as("c_start"),
+        expr(s"substring(text, cast(chunk_id * $step + 1 as int), $size)")
+          .as("chunk"))
+      .withColumn("c_len", length(col("chunk")).cast("long"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** BM25 keyword retrieval over `documents` — the lexical half of the
+    * hybrid search surface (the reference's /search endpoint is
+    * vector-only, app.py:124; production RAG pairs it with a keyword
+    * ranker, fused in [[RagContext.hybridRrf]]).
+    *
+    * Okapi BM25 with k1 = 1.2, b = 0.75:
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)), rounded to 4dp before
+    * the per-doc combination so the lone transcendental is pinned on both
+    * engines; every other factor is IEEE +,·,/ in a spelled-out order the
+    * oracle mirrors term for term.
+    *
+    * Scale shape: corpus statistics (N, Σdl, per-term df) are ONE
+    * map-side-partial aggregate collapsing to a single row (collected as
+    * query-parameter state, like the kNN query vector); scoring is then a
+    * map-only scan — per-term tf via codegen'd `filter` over the token
+    * array against literal terms — feeding TakeOrderedAndProject. The
+    * corpus never shuffles and never joins. */
+  def bm25(
+      spark: SparkSession,
+      sfDir: String,
+      terms: Seq[String] = Seq("spark", "merge", "vector"),
+      k: Int = 10): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .withColumn("tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .select(
+        (col("doc_id") +: size(col("tk")).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(expr(s"filter(tk, x -> x = '$t')")).cast("long").as(s"tf$i")
+          }): _*)
+    val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = toks.agg(aggs.head, aggs.tail: _*).head()
+    val n = stats.getLong(0)
+    val sumdl = stats.getLong(1)
+    // the one transcendental, pinned to 4dp (parity note at [[round4]])
+    def idf4(df: Long): Double =
+      math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 10000 + 0.5) /
+        10000.0
+    val score = terms.indices.map { i =>
+      val idf = idf4(stats.getLong(2 + i))
+      lit(idf) * (col(s"tf$i") * lit(2.2)) /
+        (col(s"tf$i") +
+          lit(1.2) * (lit(0.25) +
+            lit(0.75) * ((col("dl") * lit(n)).cast("double") / lit(sumdl))))
+    }.reduce(_ + _)
+    toks
+      .where(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"), col("dl"),
+        terms.indices.map(i => col(s"tf$i")).reduce(_ + _).as("n_hit"),
+        round4(score).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }
