@@ -87,6 +87,8 @@ object SparkEntry {
         filter = Some(get_json_object(col("metadata"), "$.lang") === "en"))
     }),
     "knn_threshold_ivf" -> ((s, d) => VectorIndex.ivfThresholdStore(s, d)),
+    "pq_build" -> ((s, d) => VectorIndex.pqBuild(s, d)),
+    "knn_pq" -> ((s, d) => VectorIndex.pqSearch(s, d)),
     "knn_mmr_ivf" -> ((s, d) => VectorIndex.ivfMmrStore(s, d)),
     "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
     "lsh_search" -> ((s, d) => VectorIndex.lshSearchStore(s, d)),
@@ -259,6 +261,54 @@ object SparkEntry {
        |  SELECT vec_id, cid, dd FROM (
        |    SELECT vec_id, cid, dd,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+       |    FROM fd) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Shared CTE chain for the PQ oracles: the same fixed-point Lloyd
+    * replay as [[ivfModelCtes]] with the subspace id (`dim // 8`) added to
+    * every assignment/update group — the 8 per-subspace codebooks train
+    * independently but replay in ONE chain, exactly like the Spark
+    * trainer's single-pass-per-iteration shape. `fa` is every vector's
+    * (sub, code) assignment under the converged codebooks. */
+  private def pqModelCtes: String = {
+    val iters = (1 to 5).map { t =>
+      s"""d$t AS (
+         |  SELECT e.vec_id, e.dim // 8 AS sub, c.cid,
+         |    sum((e.q - c.cq) * (e.q - c.cq)) AS dd
+         |  FROM eq e JOIN c${t - 1} c USING (dim) GROUP BY 1, 2, 3),
+         |a$t AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+         |    FROM d$t) WHERE rn = 1),
+         |u$t AS (
+         |  SELECT a.cid, e.dim,
+         |    CAST(floor((2.0 * sum(e.q) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cq
+         |  FROM a$t a JOIN eq e ON e.vec_id = a.vec_id AND e.dim // 8 = a.sub
+         |  GROUP BY 1, 2),
+         |c$t AS (
+         |  SELECT c.cid, c.dim, coalesce(u.cq, c.cq) AS cq
+         |  FROM c${t - 1} c LEFT JOIN u$t u ON c.cid = u.cid AND c.dim = u.dim)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""eq AS (
+       |  SELECT e.vec_id, r.i AS dim,
+       |    CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1048576.0 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM embeddings e, range(64) r(i)),
+       |seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |c0 AS (SELECT s.cid, e.dim, e.q AS cq FROM seeds s JOIN eq e USING (vec_id)),
+       |$iters,
+       |fd AS (
+       |  SELECT e.vec_id, e.dim // 8 AS sub, c.cid,
+       |    sum((e.q - c.cq) * (e.q - c.cq)) AS dd
+       |  FROM eq e JOIN c5 c USING (dim) GROUP BY 1, 2, 3),
+       |fa AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
        |    FROM fd) WHERE rn = 1)""".stripMargin
   }
 
@@ -1062,6 +1112,31 @@ object SparkEntry {
       tail = """SELECT vec_id, label, centroid_id, score FROM cand
                |WHERE score >= 0.2
                |ORDER BY score DESC, vec_id""".stripMargin),
+    // the PQ family replayed end to end: per-subspace fixed-point Lloyd
+    // (pqModelCtes), then — for the search — the integer ADC LUT and the
+    // exact re-rank of the top-fetchK candidates
+    "pq_build" ->
+      s"""WITH $pqModelCtes
+         |SELECT vec_id, CAST(sub AS INTEGER) AS sub, CAST(cid AS INTEGER) AS code
+         |FROM fa
+         |ORDER BY vec_id, sub""".stripMargin,
+    "knn_pq" ->
+      s"""WITH $pqModelCtes,
+         |qq AS (SELECT dim, q FROM eq WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT c.dim // 8 AS sub, c.cid, CAST(sum(q.q * c.cq) AS BIGINT) AS ip
+         |  FROM c5 c JOIN qq q USING (dim) GROUP BY 1, 2),
+         |adc AS (
+         |  SELECT f.vec_id, CAST(sum(l.ip) AS BIGINT) AS adc
+         |  FROM fa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
+         |  WHERE f.vec_id <> 0 GROUP BY 1),
+         |cand AS (SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 100),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, c.adc,
+         |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v), 4) AS score
+         |FROM cand c JOIN embeddings e USING (vec_id), qv
+         |ORDER BY score DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
     // the store-probed MMR: fetchK=50 candidates from the probed
     // partitions, then the same recursive-CTE greedy replay as knn_mmr
     // (diversity on the 1e-4 grid, argmax ties to the better-ranked

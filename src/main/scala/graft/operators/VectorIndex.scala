@@ -863,6 +863,145 @@ object VectorIndex {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (the third ANN compression option next to the
+  // coarse IVF quantizer and the int8 scalar quantizer — the classic
+  // IVF-PQ pairing of the quantized-index family the reference's store
+  // exposes via index_enabled; Jégou et al., TPAMI'11).
+  // ---------------------------------------------------------------------
+  final val PqM = 8 // subspaces
+  final val PqSubDim = 8 // dims per subspace (embedding dim 64 / PqM)
+
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Float]]]]()
+
+  /** Per-subspace codebooks `[sub][cid][dim]`, trained once per sfDir. */
+  def trainPqCodebooks(
+      spark: SparkSession, sfDir: String): Array[Array[Array[Float]]] =
+    pqCache.computeIfAbsent(sfDir, _ =>
+      trainPq(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"))))
+
+  /** Product-quantizer trainer: independent K-code Lloyd per subspace,
+    * run over the SAME fixed-point integer arithmetic as [[trainLloyd]]
+    * (quantized coords, exact integer argmin with ties to the smaller
+    * code id, half-up integer-mean update) — so the trained codebooks are
+    * bit-identical on any engine/partitioning and the PQ queries carry
+    * full-replay SQL oracles like the IVF family.
+    *
+    * Scale shape: all `PqM` subspaces train in ONE distributed pass per
+    * iteration — a single codegen'd scan assigns every subspace (the
+    * codebooks ride in the task closure), and the update shuffles only
+    * (sub, code, dim) partial sums: ≤ PqM·K·PqSubDim = 1024 rows to the
+    * driver. Per-iteration cost is identical to the single-space IVF
+    * trainer despite the 8 codebooks. */
+  private[graft] def trainPq(embIn: DataFrame): Array[Array[Array[Float]]] = {
+    val emb = embIn.select(col("vec_id"), col("embedding"))
+    emb.cache()
+    try {
+      // seeds: the K smallest vec_ids, sliced per subspace (same seed rule
+      // as trainLloyd, replayed by the oracle's `seeds` CTE)
+      var cb: Array[Array[Array[Long]]] = {
+        val rows = emb.orderBy(col("vec_id")).limit(K).collect()
+          .map(_.getSeq[Float](1).toArray)
+        Array.tabulate(PqM)(s => rows.map(r =>
+          Array.tabulate(PqSubDim)(d =>
+            IndexOps.quantize(r(s * PqSubDim + d).toDouble))))
+      }
+      for (_ <- 1 to Iters) {
+        val sums = emb
+          .select(pqCodesCol(deQuantize(cb)).as("codes"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(
+            expr("cast(dim div 8 as int)").as("sub"),
+            element_at(col("codes"), expr("cast(dim div 8 as int) + 1"))
+              .as("cid"),
+            col("dim"),
+            floor(col("v").cast("double") * IndexOps.QScale + 0.5)
+              .cast("long").as("q"))
+          .groupBy(col("sub"), col("cid"), col("dim"))
+          .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        sums.foreach { r =>
+          val (sub, cid, dim) = (r.getInt(0), r.getInt(1), r.getInt(2))
+          val cq = Math.floorDiv(2L * r.getLong(3) + r.getLong(4),
+            2L * r.getLong(4))
+          next(sub)(cid)(dim - sub * PqSubDim) = cq
+        }
+        cb = next
+      }
+      deQuantize(cb)
+    } finally emb.unpersist()
+  }
+
+  /** |cq| < 2^24 so the de-scaled float is exact and re-quantizes to the
+    * same integer — the codebook round-trips between the integer trainer
+    * and the float-typed assignment expression losslessly. */
+  private def deQuantize(
+      cb: Array[Array[Array[Long]]]): Array[Array[Array[Float]]] =
+    cb.map(_.map(_.map(q => (q.toDouble / IndexOps.QScale).toFloat)))
+
+  /** The PQ code vector as ONE map-only column: per subspace, the
+    * fixed-point nearest-code assignment over the sliced embedding (the
+    * same codegen'd [[IndexFunctions.nearestCentroid]] the IVF family
+    * uses — dimension-agnostic, exact integer argmin). */
+  private def pqCodesCol(cb: Array[Array[Array[Float]]]): Column =
+    array((0 until PqM).map(s =>
+      IndexFunctions.nearestCentroid(
+        slice(col("embedding"), s * PqSubDim + 1, PqSubDim), cb(s))
+        .getField("centroid_id")): _*)
+
+  /** PQ build: every vector's 8 sub-codes — 64× compression of the float
+    * payload (256 B → 8 nibble-sized codes) for the ADC scan. One
+    * codegen'd map pass, exploded to (vec_id, sub, code). */
+  def pqBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = trainPqCodebooks(spark, sfDir)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(pqCodesCol(cb)).as(Seq("sub", "code")))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
+  /** Two-phase PQ search (asymmetric distance computation): the query
+    * builds an integer LUT of per-subspace inner products against every
+    * code (PqM·K = 128 Longs, exact fixed-point arithmetic — ADC ranking
+    * is engine-independent by construction), the corpus scan sums 8 LUT
+    * lookups per vector (map-only, no shuffle) → top-fetchK by (adc,
+    * vec_id) → exact cosine re-rank of the survivors via a broadcast
+    * candidate join. At 100 TB the phase-1 scan reads the 8-byte code
+    * column instead of the 256-byte embedding — the 32× IO cut is the
+    * point of PQ. */
+  def pqSearch(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      fetchK: Int = 100,
+      queryVecId: Long = 0L): DataFrame = {
+    val cb = trainPqCodebooks(spark, sfDir)
+    val qv = KnnSearch.queryVector(spark, sfDir, queryVecId)
+    val qq = qv.map(x => IndexOps.quantize(x.toDouble))
+    val lut: Array[Array[Long]] = Array.tabulate(PqM)(s =>
+      Array.tabulate(K)(c =>
+        (0 until PqSubDim).map(d =>
+          qq(s * PqSubDim + d) * IndexOps.quantize(cb(s)(c)(d).toDouble)).sum))
+    val adc = (0 until PqM).map(s =>
+      element_at(typedLit(lut(s)),
+        element_at(col("codes"), lit(s + 1)) + lit(1))).reduce(_ + _)
+    val cand = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") =!= queryVecId)
+      .withColumn("codes", pqCodesCol(cb))
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(fetchK)
+    Tables.embeddings(spark, sfDir)
+      .join(broadcast(cand), "vec_id")
+      .select(col("vec_id"), col("label"), col("adc"),
+        round(VectorFunctions.cosineSim(col("embedding"), typedLit(qv)), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Random-hyperplane LSH bucketing: 16-bit signatures → bucket histogram
     * (the store-side structure for sub-linear cosine search). Map-only scan
     * + one small aggregation keyed by bucket. */

@@ -43,4 +43,11 @@ class AnnRecallSpec extends SparkSpec {
     info(f"lsh_search recall@10 = $r%.2f (multi-probe, budget of hamming<=2 of 8 planes)")
     assert(r >= 0.7, s"lsh recall regressed: $r")
   }
+
+  test("pq ADC two-phase search at graded fetchK=100 holds its recall@10 floor") {
+    val r = recallAt10(VectorIndex.pqSearch(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq)
+    info(f"knn_pq recall@10 = $r%.2f (m=8 subspaces, 16 codes, fetchK=100)")
+    assert(r >= 0.9, s"pq recall regressed: $r")
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.IndexOps
+import graft.operators.{KnnSearch, VectorIndex}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization specs: the trained codebooks are fixed-point
+  * integer state (bit-identical under any partitioning), the build
+  * assignment is the true per-subspace argmin, and the ADC score is the
+  * exact integer inner product against the quantized reconstruction. */
+class PqSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("embedding"))
+
+  test("pq training is bit-identical under arbitrary repartitioning") {
+    val a = VectorIndex.trainPq(emb)
+    val b = VectorIndex.trainPq(emb.repartition(7).sortWithinPartitions("embedding"))
+    assert(a.length == b.length)
+    a.indices.foreach { s =>
+      a(s).indices.foreach { c =>
+        assert(a(s)(c).sameElements(b(s)(c)), s"sub $s code $c differs")
+      }
+    }
+  }
+
+  test("build codes are the true per-subspace fixed-point argmin") {
+    val cb = VectorIndex.trainPqCodebooks(spark, sfDir)
+    val cbQ = cb.map(_.map(_.map(f => IndexOps.quantize(f.toDouble))))
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val codes = VectorIndex.pqBuild(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(codes.size == vecs.size * VectorIndex.PqM)
+    vecs.foreach { case (id, v) =>
+      (0 until VectorIndex.PqM).foreach { s =>
+        val q = Array.tabulate(VectorIndex.PqSubDim)(d =>
+          IndexOps.quantize(v(s * VectorIndex.PqSubDim + d).toDouble))
+        val best = cbQ(s).zipWithIndex.minBy { case (ctr, cid) =>
+          (ctr.zip(q).map { case (cq, x) => (x - cq) * (x - cq) }.sum, cid)
+        }._2
+        assert(codes((id, s)) == best, s"vec $id sub $s")
+      }
+    }
+  }
+
+  test("ADC equals the integer dot against the quantized reconstruction") {
+    val cb = VectorIndex.trainPqCodebooks(spark, sfDir)
+    val cbQ = cb.map(_.map(_.map(f => IndexOps.quantize(f.toDouble))))
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    val qq = qv.map(x => IndexOps.quantize(x.toDouble))
+    val codes = VectorIndex.pqBuild(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val got = VectorIndex.pqSearch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, adc) =>
+      val expected = (0 until VectorIndex.PqM).map { s =>
+        val ctr = cbQ(s)(codes((id, s)))
+        (0 until VectorIndex.PqSubDim)
+          .map(d => qq(s * VectorIndex.PqSubDim + d) * ctr(d)).sum
+      }.sum
+      assert(adc == expected, s"vec $id adc")
+    }
+  }
+}
