@@ -89,6 +89,7 @@ object SparkEntry {
     "knn_threshold_ivf" -> ((s, d) => VectorIndex.ivfThresholdStore(s, d)),
     "pq_build" -> ((s, d) => VectorIndex.pqBuild(s, d)),
     "knn_pq" -> ((s, d) => VectorIndex.pqSearch(s, d)),
+    "knn_ivf_pq" -> ((s, d) => VectorIndex.ivfPqSearchStore(s, d)),
     "knn_mmr_ivf" -> ((s, d) => VectorIndex.ivfMmrStore(s, d)),
     "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
     "lsh_search" -> ((s, d) => VectorIndex.lshSearchStore(s, d)),
@@ -270,27 +271,7 @@ object SparkEntry {
     * independently but replay in ONE chain, exactly like the Spark
     * trainer's single-pass-per-iteration shape. `fa` is every vector's
     * (sub, code) assignment under the converged codebooks. */
-  private def pqModelCtes: String = {
-    val iters = (1 to 5).map { t =>
-      s"""d$t AS (
-         |  SELECT e.vec_id, e.dim // 8 AS sub, c.cid,
-         |    sum((e.q - c.cq) * (e.q - c.cq)) AS dd
-         |  FROM eq e JOIN c${t - 1} c USING (dim) GROUP BY 1, 2, 3),
-         |a$t AS (
-         |  SELECT vec_id, sub, cid FROM (
-         |    SELECT vec_id, sub, cid,
-         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
-         |    FROM d$t) WHERE rn = 1),
-         |u$t AS (
-         |  SELECT a.cid, e.dim,
-         |    CAST(floor((2.0 * sum(e.q) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cq
-         |  FROM a$t a JOIN eq e ON e.vec_id = a.vec_id AND e.dim // 8 = a.sub
-         |  GROUP BY 1, 2),
-         |c$t AS (
-         |  SELECT c.cid, c.dim, coalesce(u.cq, c.cq) AS cq
-         |  FROM c${t - 1} c LEFT JOIN u$t u ON c.cid = u.cid AND c.dim = u.dim)"""
-        .stripMargin
-    }.mkString(",\n")
+  private def pqModelCtes: String =
     s"""eq AS (
        |  SELECT e.vec_id, r.i AS dim,
        |    CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1048576.0 + 0.5)
@@ -300,16 +281,44 @@ object SparkEntry {
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
        |c0 AS (SELECT s.cid, e.dim, e.q AS cq FROM seeds s JOIN eq e USING (vec_id)),
-       |$iters,
-       |fd AS (
+       |${pqIterCtes("p")}""".stripMargin
+
+  /** The per-subspace Lloyd iterations + final assignment, with every CTE
+    * name prefixed so the chain can share a WITH block (and the eq/seeds/
+    * c0 base) with the unprefixed IVF chain — the knn_ivf_pq oracle hosts
+    * both models side by side. */
+  private def pqIterCtes(prefix: String): String = {
+    val iters = (1 to 5).map { t =>
+      val prev = if (t == 1) "c0" else s"${prefix}c${t - 1}"
+      s"""${prefix}d$t AS (
+         |  SELECT e.vec_id, e.dim // 8 AS sub, c.cid,
+         |    sum((e.q - c.cq) * (e.q - c.cq)) AS dd
+         |  FROM eq e JOIN $prev c USING (dim) GROUP BY 1, 2, 3),
+         |${prefix}a$t AS (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
+         |    FROM ${prefix}d$t) WHERE rn = 1),
+         |${prefix}u$t AS (
+         |  SELECT a.cid, e.dim,
+         |    CAST(floor((2.0 * sum(e.q) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cq
+         |  FROM ${prefix}a$t a JOIN eq e ON e.vec_id = a.vec_id AND e.dim // 8 = a.sub
+         |  GROUP BY 1, 2),
+         |${prefix}c$t AS (
+         |  SELECT c.cid, c.dim, coalesce(u.cq, c.cq) AS cq
+         |  FROM $prev c LEFT JOIN ${prefix}u$t u ON c.cid = u.cid AND c.dim = u.dim)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$iters,
+       |${prefix}fd AS (
        |  SELECT e.vec_id, e.dim // 8 AS sub, c.cid,
        |    sum((e.q - c.cq) * (e.q - c.cq)) AS dd
-       |  FROM eq e JOIN c5 c USING (dim) GROUP BY 1, 2, 3),
-       |fa AS (
+       |  FROM eq e JOIN ${prefix}c5 c USING (dim) GROUP BY 1, 2, 3),
+       |${prefix}fa AS (
        |  SELECT vec_id, sub, cid FROM (
        |    SELECT vec_id, sub, cid,
        |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd, cid) AS rn
-       |    FROM fd) WHERE rn = 1)""".stripMargin
+       |    FROM ${prefix}fd) WHERE rn = 1)""".stripMargin
   }
 
   /** Oracle for the IVF STORE searches: [[ivfModelCtes]] + the nprobe=4
@@ -1118,19 +1127,48 @@ object SparkEntry {
     "pq_build" ->
       s"""WITH $pqModelCtes
          |SELECT vec_id, CAST(sub AS INTEGER) AS sub, CAST(cid AS INTEGER) AS code
-         |FROM fa
+         |FROM pfa
          |ORDER BY vec_id, sub""".stripMargin,
     "knn_pq" ->
       s"""WITH $pqModelCtes,
          |qq AS (SELECT dim, q FROM eq WHERE vec_id = 0),
          |lut AS (
          |  SELECT c.dim // 8 AS sub, c.cid, CAST(sum(q.q * c.cq) AS BIGINT) AS ip
-         |  FROM c5 c JOIN qq q USING (dim) GROUP BY 1, 2),
+         |  FROM pc5 c JOIN qq q USING (dim) GROUP BY 1, 2),
          |adc AS (
          |  SELECT f.vec_id, CAST(sum(l.ip) AS BIGINT) AS adc
-         |  FROM fa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
+         |  FROM pfa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
          |  WHERE f.vec_id <> 0 GROUP BY 1),
          |cand AS (SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 100),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, c.adc,
+         |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v), 4) AS score
+         |FROM cand c JOIN embeddings e USING (vec_id), qv
+         |ORDER BY score DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+    // IVF-PQ composed end to end: the unprefixed chain trains the coarse
+    // centroids (probe set + the store's partition assignment `fa`), the
+    // p-prefixed chain trains the subspace codebooks; ADC ranks only the
+    // vectors whose partition is probed, then the exact re-rank
+    "knn_ivf_pq" ->
+      s"""WITH $ivfModelCtes,
+         |${pqIterCtes("p")},
+         |qq AS (SELECT dim, q FROM eq WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, sum((c.cq - q.q) * (c.cq - q.q)) AS dd
+         |    FROM c5 c JOIN qq q USING (dim) GROUP BY 1)
+         |  ORDER BY dd, cid LIMIT 4),
+         |lut AS (
+         |  SELECT c.dim // 8 AS sub, c.cid, CAST(sum(q.q * c.cq) AS BIGINT) AS ip
+         |  FROM pc5 c JOIN qq q USING (dim) GROUP BY 1, 2),
+         |adc AS (
+         |  SELECT f.vec_id, CAST(sum(l.ip) AS BIGINT) AS adc
+         |  FROM pfa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
+         |  JOIN fa iv ON iv.vec_id = f.vec_id
+         |  WHERE iv.cid IN (SELECT cid FROM probes) AND f.vec_id <> 0
+         |  GROUP BY 1),
+         |cand AS (SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 50),
          |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, e.label, c.adc,
          |  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v), 4) AS score

@@ -236,6 +236,35 @@ object VectorIndex {
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
+  // PQ codebooks are a second model side-table of the IVF store (the
+  // IVF-PQ pairing: coarse centroids prune IO, per-subspace codes
+  // compress the payload the ADC scan reads). Cached per store path like
+  // the centroids/planes.
+  private val pqModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Float]]]]()
+  private def readPqModel(
+      spark: SparkSession, path: String): Array[Array[Array[Float]]] =
+    pqModelCache.computeIfAbsent(s"$path/pq", dir => {
+      val rows = spark.read.parquet(dir)
+        .orderBy(col("sub"), col("cid")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      val m = rows.map(_._1).max + 1
+      Array.tabulate(m)(s => rows.filter(_._1 == s).sortBy(_._2).map(_._3))
+    })
+  private def writePqModelTable(
+      spark: SparkSession, path: String,
+      cb: Array[Array[Array[Float]]]): Unit = {
+    import spark.implicits._
+    (for { s <- cb.indices; c <- cb(s).indices }
+      yield (s, c, cb(s)(c).toSeq))
+      .toDF("sub", "cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    pqModelCache.put(s"$path/pq", cb)
+  }
+  private def hasPqModel(spark: SparkSession, path: String): Boolean =
+    pqModelCache.containsKey(s"$path/pq") ||
+      fs(spark).exists(new org.apache.hadoop.fs.Path(s"$path/pq"))
+
   /** Shared initial build: vectors written `partitionBy(layout.partCol)`
     * plus the model side-table. Rows carry a `gen` (generation) column —
     * the base build is gen 0, appends add higher generations — and the
@@ -247,15 +276,22 @@ object VectorIndex {
       layout: StoreLayout, model: Array[Array[Float]]): Unit = {
     val metadata = Tables.documents(spark, sfDir)
       .select(col("doc_id"), KnnSearch.metadataJson.as("metadata"))
-    Tables.embeddings(spark, sfDir)
+    // the IVF layout also persists PQ codes per vector (IVF-PQ): trained
+    // once per corpus, assigned in the same codegen'd write pass, so the
+    // ADC search can scan the 8-byte code column instead of the embedding
+    val pqCb =
+      if (layout == IvfLayout) Some(trainPqCodebooks(spark, sfDir)) else None
+    val base = Tables.embeddings(spark, sfDir)
       .join(metadata, col("vec_id") === col("doc_id"), "left")
       .select(col("vec_id"), col("label"), col("embedding"), col("metadata"),
         lit(false).as("deleted"), lit(0L).as("gen"),
         layout.assign(model, col("embedding")).as(layout.partCol))
+    pqCb.fold(base)(cb => base.withColumn("codes", pqCodesCol(cb)))
       .write.mode("overwrite").partitionBy(layout.partCol)
       .parquet(s"$path/vectors")
     writeModelTable(spark, s"$path/${layout.modelDir}", layout, model)
     modelCache.put(s"$path/${layout.modelDir}", model)
+    pqCb.foreach(cb => writePqModelTable(spark, path, cb))
     setSingleGen(spark, path, v = true)
   }
 
@@ -313,13 +349,19 @@ object VectorIndex {
     val withMeta =
       if (batch.columns.contains("metadata")) batch
       else batch.withColumn("metadata", lit(null).cast("string"))
-    withMeta
+    val appended = withMeta
       .join(existing, Seq("vec_id"), "left")
       .select(col("vec_id"), col("label"), col("embedding"), col("metadata"),
         lit(false).as("deleted"), lit(gen).as("gen"),
         coalesce(
           col("sticky_pid"),
           layout.assign(model, col("embedding"))).as(layout.partCol))
+    // codes derive from the embedding itself (no sticky rule needed):
+    // recompute for every appended row so the ADC scan never sees a
+    // schema hole
+    (if (hasPqModel(spark, path))
+       appended.withColumn("codes", pqCodesCol(readPqModel(spark, path)))
+     else appended)
       .write.mode("append").partitionBy(layout.partCol)
       .parquet(s"$path/vectors")
   }
@@ -348,10 +390,14 @@ object VectorIndex {
     // flag cleared before the write commits — same crash-safety order as
     // appendAt
     setSingleGen(spark, path, v = false)
-    spark.read.parquet(s"$path/vectors")
+    val existing = spark.read.parquet(s"$path/vectors")
+    val cols = Seq(col("vec_id"), col("label"), col("embedding"),
+      col("metadata"), lit(true).as("deleted"), lit(gen).as("gen"),
+      col(layout.partCol)) ++
+      (if (existing.columns.contains("codes")) Seq(col("codes")) else Nil)
+    existing
       .where(col("vec_id").isin(ids: _*))
-      .select(col("vec_id"), col("label"), col("embedding"), col("metadata"),
-        lit(true).as("deleted"), lit(gen).as("gen"), col(layout.partCol))
+      .select(cols: _*)
       .write.mode("append").partitionBy(layout.partCol)
       .parquet(s"$path/vectors")
   }
@@ -432,11 +478,18 @@ object VectorIndex {
     // sticky in their old partition for pruned-read correctness;
     // compaction is where placement catches up with the embedding (the
     // old copies are folded away here, so moving is safe)
-    val latest = live
+    val folded = live
       .select(col("vec_id"), col("v.label").as("label"),
         col("v.embedding").as("embedding"), col("v.metadata").as("metadata"),
         lit(false).as("deleted"), lit(0L).as("gen"),
         layout.assign(model, col("v.embedding")).as(layout.partCol))
+    // PQ codes recompute from the surviving embeddings (codebooks are
+    // corpus-trained model state, not partition state — retraining the
+    // coarse centroids does not invalidate them)
+    val latest =
+      if (hasPqModel(spark, path))
+        folded.withColumn("codes", pqCodesCol(readPqModel(spark, path)))
+      else folded
     // two-phase rewrite: parquet cannot overwrite a path it is reading
     latest.write.mode("overwrite").partitionBy(layout.partCol)
       .parquet(s"$path/vectors_compact")
@@ -681,6 +734,80 @@ object VectorIndex {
     searchStore(spark, path, qv, nprobe = nprobe,
       filter = Some(col("vec_id") =!= queryVecId),
       scoreThreshold = Some(threshold))
+  }
+
+  /** IVF-PQ search through the materialized store — the classic pairing
+    * (Jégou et al., TPAMI'11) the quantized-index family is built on:
+    * the coarse quantizer prunes WHICH partitions are read (nprobe/k of
+    * the files, at the file index), the product quantizer shrinks WHAT
+    * the phase-1 scan reads per row — the 8-code `codes` column persisted
+    * at build time instead of the 256-byte embedding (parquet column
+    * pruning; at 100 TB the probe scan IO drops ~32× on top of the
+    * partition cut). Phase 1 ranks the probed subset by the exact integer
+    * ADC LUT and keeps fetchK; phase 2 re-ranks the survivors exactly
+    * through the shared resolved probe + a broadcast candidate join.
+    * Generation resolution (multi-gen stores) runs over the pruned
+    * (vec_id, codes) projection only. */
+  def ivfPqSearchStore(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      nprobe: Int = 4,
+      fetchK: Int = 50,
+      queryVecId: Long = 0L): DataFrame = {
+    val path = ensureStore(spark, sfDir)
+    val qv = KnnSearch.queryVector(spark, sfDir, queryVecId)
+    ivfPqSearchStoreAt(spark, path, qv, k, nprobe, fetchK, Some(queryVecId))
+  }
+
+  /** Path-based IVF-PQ search core (see [[ivfPqSearchStore]]). */
+  def ivfPqSearchStoreAt(
+      spark: SparkSession,
+      path: String,
+      qv: Array[Float],
+      k: Int = 10,
+      nprobe: Int = 4,
+      fetchK: Int = 50,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cb = readPqModel(spark, path)
+    val qq = qv.map(x => IndexOps.quantize(x.toDouble))
+    val lut: Array[Array[Long]] = Array.tabulate(PqM)(s =>
+      Array.tabulate(K)(c =>
+        (0 until PqSubDim).map(d =>
+          qq(s * PqSubDim + d) * IndexOps.quantize(cb(s)(c)(d).toDouble)).sum))
+    val adc = (0 until PqM).map(s =>
+      element_at(typedLit(lut(s)),
+        element_at(col("codes"), lit(s + 1)) + lit(1))).reduce(_ + _)
+    val centroids = readModel(spark, path, IvfLayout)
+    val probes = nearestCentroidIds(centroids, qv, nprobe)
+    val pruned = spark.read.parquet(s"$path/vectors")
+      .where(col("centroid_id").isin(probes: _*))
+    // phase 1 over the codes projection only — the embedding column is
+    // never read here (spec-pinned via ReadSchema)
+    val phase1 =
+      if (isSingleGen(spark, path))
+        pruned.where(!col("deleted"))
+          .select(col("vec_id"), col("codes"))
+      else
+        pruned
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("codes"), col("deleted")),
+            struct(col("gen"), !col("deleted"))).as("v"))
+          .where(!col("v.deleted"))
+          .select(col("vec_id"), col("v.codes").as("codes"))
+    val excl = excludeId.map(id => col("vec_id") =!= id)
+    val cand = phase1
+      .where(excl.getOrElse(lit(true)))
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(fetchK)
+    resolvedProbe(spark, path, qv, nprobe, excl)
+      .join(broadcast(cand), "vec_id")
+      .select(col("vec_id"), col("label"), col("adc"),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("embedding"), typedLit(qv)), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** MMR search through the materialized store (the reference's

@@ -44,6 +44,47 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq store search: phase-1 reads codes not embeddings, prunes partitions") {
+    val res = VectorIndex.ivfPqSearchStore(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      "phase-1 must prune the coarse partitions at the file index")
+    // the ADC scan's projection must exclude the embedding column: the
+    // 32x payload cut is the point of the codes column. The re-rank scan
+    // legitimately reads embeddings, so assert on the FileScan LINE whose
+    // ReadSchema carries `codes`.
+    val scanLines = plan.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    val adcScan = scanLines.find(_.contains("codes"))
+    assert(adcScan.isDefined, "an ADC FileScan over the codes column exists")
+    assert(!adcScan.get.contains("embedding"),
+      "the ADC scan must not read the embedding column")
+    // and it agrees with the full-replay contract: top-10 ids are a
+    // subset of the probed exact ranking at the same nprobe
+    val ivf = VectorIndex.ivfSearchStore(spark, sfDir, k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(res.collect().map(_.getLong(0)).forall(ivf.contains))
+  }
+
+  test("ivf-pq search reflects appends: codes column maintained by the CRUD paths") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_crud_").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    // append a vector identical to the query: it must surface at the top
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    val batch = Seq((9001L, 7, qv.toSeq)).toDF("vec_id", "label", "embedding")
+    VectorIndex.appendStore(spark, path, batch, gen = 1L)
+    // exclude the query row itself: vec 0 ties the appended copy at
+    // cosine 1.0 and would win the id tie-break
+    def top(k: Int) =
+      VectorIndex.ivfPqSearchStoreAt(spark, path, qv, k = k,
+        excludeId = Some(0L))
+        .collect().map(_.getLong(0)).toSeq
+    assert(top(10).head == 9001L, "appended near-identical vector wins ADC + re-rank")
+    VectorIndex.compactStore(spark, path)
+    assert(top(10).head == 9001L, "compaction preserves the codes column")
+  }
+
   test("ADC equals the integer dot against the quantized reconstruction") {
     val cb = VectorIndex.trainPqCodebooks(spark, sfDir)
     val cbQ = cb.map(_.map(_.map(f => IndexOps.quantize(f.toDouble))))
