@@ -59,6 +59,7 @@ object SparkEntry {
     "text_featurize" -> ((s, d) => TextAnalysis.featurize(s, d)),
     "text_search" -> ((s, d) => TextAnalysis.textSearch(s, d)),
     "doc_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
+    "chunk_search" -> ((s, d) => TextAnalysis.chunkSearch(s, d)),
     "bm25_search" -> ((s, d) => TextAnalysis.bm25(s, d)),
     // --- corpus ops (training-data pipeline: stats / sample / pack) ---
     "corpus_stats" -> ((s, d) => CorpusOps.stats(s, d)),
@@ -75,6 +76,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    "knn_graph" -> ((s, d) => Dedup.knnGraph(s, d)),
     // --- ANN index structures (rows-only oracles) ---
     "ivf_build" -> ((s, d) => VectorIndex.ivfBuild(s, d)),
     "ivf_search" -> ((s, d) => VectorIndex.ivfSearchStore(s, d)),
@@ -716,6 +718,56 @@ object SparkEntry {
         |  length(substring(text, CAST(chunk_id * 90 + 1 AS INTEGER), 120)) AS c_len
         |FROM x
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // chunk-granular retrieval: the doc_chunk windows re-featurized with
+    // the textSearchCtes hash chain, keyed (doc_id, chunk_id); the query
+    // side is doc 0's WHOLE-document weights, exactly like text_search
+    "chunk_search" ->
+      """WITH ch AS (
+        |  SELECT doc_id, chunk_id,
+        |    substring(text, CAST(chunk_id * 90 + 1 AS INTEGER), 120) AS chunk
+        |  FROM (
+        |    SELECT doc_id, text, unnest(range(
+        |      greatest(1, (length(text) - 30 + 89) // 90))) AS chunk_id
+        |    FROM documents WHERE doc_id <> 0)),
+        |e AS (
+        |  SELECT doc_id, chunk_id,
+        |    unnest(regexp_extract_all(lower(chunk), '[a-z0-9]+')) AS t
+        |  FROM ch),
+        |h AS (
+        |  SELECT doc_id, chunk_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+        |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS hv
+        |  FROM e),
+        |w AS (
+        |  SELECT doc_id, chunk_id, CAST(hv % 64 AS INTEGER) AS dim,
+        |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        |  FROM h GROUP BY 1, 2, 3),
+        |qe AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        |  FROM documents WHERE doc_id = 0),
+        |qh AS (
+        |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |    [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+        |    (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS hv
+        |  FROM qe),
+        |q AS (
+        |  SELECT CAST(hv % 64 AS INTEGER) AS dim,
+        |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        |  FROM qh GROUP BY 1),
+        |qn AS (SELECT CAST(sum(weight * weight) AS BIGINT) AS qnorm2 FROM q),
+        |s AS (
+        |  SELECT w.doc_id, w.chunk_id,
+        |    CAST(sum(CASE WHEN q.weight IS NULL THEN 0 ELSE w.weight * q.weight END) AS BIGINT) AS dot,
+        |    CAST(sum(w.weight * w.weight) AS BIGINT) AS norm2
+        |  FROM w LEFT JOIN q ON w.dim = q.dim
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, chunk_id,
+        |  FLOOR(dot / sqrt(CAST(norm2 AS DOUBLE) * CAST((SELECT qnorm2 FROM qn) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS score
+        |FROM s
+        |WHERE norm2 > 0
+        |ORDER BY score DESC, doc_id, chunk_id
+        |LIMIT 10""".stripMargin,
     // the lone transcendental (idf's ln) is pinned to 4dp on both sides
     // BEFORE combination; every other factor is IEEE +,·,/ in the same
     // spelled-out order, so the 4dp score is engine-independent
@@ -1251,6 +1303,40 @@ object SparkEntry {
          |JOIN embeddings eb ON eb.vec_id = c.id_b
          |WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    // the kNN graph replayed from the same banded-signature candidates:
+    // undirected scored pairs mirror into both directions, per-source
+    // top-3 via row_number under the (score desc, dst) order TopKAgg pins
+    "knn_graph" -> {
+      val sigTerms = (1 to 8)
+        .map(k => s"(CASE WHEN embedding[band * 8 + $k] > 0 THEN ${1 << (k - 1)} ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH s AS (
+         |  SELECT vec_id, band,
+         |    $sigTerms AS sig
+         |  FROM embeddings, (SELECT unnest(range(8)) AS band)),
+         |bs AS (
+         |  SELECT band, sig FROM s GROUP BY band, sig HAVING count(*) <= 1000),
+         |c AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM s a
+         |  JOIN bs ON bs.band = a.band AND bs.sig = a.sig
+         |  JOIN s b2 ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id < b2.vec_id),
+         |sc AS (
+         |  SELECT c.id_a, c.id_b,
+         |    ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) AS score
+         |  FROM c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b),
+         |d AS (
+         |  SELECT id_a AS src, id_b AS dst, score FROM sc
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst, score FROM sc)
+         |SELECT src, CAST(rn AS INTEGER) AS rank, dst, score FROM (
+         |  SELECT src, dst, score,
+         |    row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rn
+         |  FROM d) WHERE rn <= 3
+         |ORDER BY src, rank""".stripMargin
     },
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

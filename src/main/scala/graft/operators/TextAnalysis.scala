@@ -214,6 +214,54 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Chunk-granular retrieval — the ACTUAL RAG index unit: the reference
+    * ingests split documents, so what similarity search ranks in
+    * production is chunks, not whole documents ([[chunk]] → featurize →
+    * cosine; the top hit localizes WHERE in a document the query matches).
+    * Same exact-integer core as [[textSearch]]: signed bucket counts per
+    * chunk dot the broadcast query weights, one sqrt+divide per chunk.
+    *
+    * Scale shape: chunking, hashing, and scoring fuse into ONE map-only
+    * codegen'd scan (no shuffle — the per-chunk weight vector accumulates
+    * inside the row, the query rides in the task closure) feeding
+    * TakeOrderedAndProject. ~n/step output rows per doc scanned, never
+    * materialized beyond the scan. */
+  def chunkSearch(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      queryDocId: Long = 0L,
+      dim: Int = 64,
+      size: Int = 120,
+      overlap: Int = 30): DataFrame = {
+    val dense = denseWeights(spark, sfDir, dim)
+    val qDense: Array[Long] = dense.where(col("doc_id") === queryDocId)
+      .select(expr("transform(ws, x -> x.w)")).head()
+      .getSeq[Long](0).toArray
+    val qNorm2: Long = qDense.map(v => v * v).sum
+    val qv = typedLit(qDense)
+    chunk(spark, sfDir, size, overlap)
+      .where(col("doc_id") =!= queryDocId)
+      .select(col("doc_id"), col("chunk_id"),
+        transform(
+          expr("regexp_extract_all(lower(chunk), '[a-z0-9]+', 0)"),
+          t => TextFunctions.polyFingerprint(t)).as("hs"))
+      .select(col("doc_id"), col("chunk_id"),
+        TextFunctions.hashingFeaturize(col("hs"), dim).as("ws"))
+      .withColumn("qv", qv)
+      .select(col("doc_id"), col("chunk_id"),
+        expr("aggregate(zip_with(ws, qv, (x, q) -> x.w * q), 0L, (s, v) -> s + v)")
+          .as("dot"),
+        expr("aggregate(ws, 0L, (s, x) -> s + x.w * x.w)").as("norm2"))
+      .where(col("norm2") > 0)
+      .select(col("doc_id"), col("chunk_id"),
+        round4(col("dot") /
+          sqrt(col("norm2").cast("double") * lit(qNorm2.toDouble)))
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+      .limit(k)
+  }
+
   /** RAG ingestion chunking — the document-splitting stage that feeds the
     * reference store's `add_texts` path (app.py:24-47 indexes documents the
     * LangChain loader has already split into retrieval-sized pieces; the

@@ -62,6 +62,43 @@ class RetrievalFunnelSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("chunk search matches a pure-Scala hash-and-cosine reference") {
+    val M = BigInt(2305843009213693951L)
+    def hv(tok: String): Long =
+      tok.codePoints().toArray.foldLeft(BigInt(0)) { (acc, c) =>
+        (acc * 131 + c) mod M
+      }.toLong
+    def weights(text: String): Map[Int, Long] =
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+        .map(hv)
+        .groupBy(h => (h % 64).toInt)
+        .map { case (d, hs) =>
+          d -> hs.map(h => if ((h / 64) % 2 == 0) 1L else -1L).sum
+        }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q = weights(docs(0L))
+    val qn2 = q.values.map(w => w * w).sum
+    val expected = docs.filter(_._1 != 0L).toSeq.flatMap { case (id, text) =>
+      val n = text.length.toLong
+      val nChunks = math.max(1L, (n - 30 + 89) / 90)
+      (0L until nChunks).map { c =>
+        val chunkText = text.slice((c * 90).toInt,
+          math.min(n, c * 90 + 120).toInt)
+        val w = weights(chunkText)
+        val dot = w.map { case (d, x) => x * q.getOrElse(d, 0L) }.sum
+        val n2 = w.values.map(x => x * x).sum
+        (id, c, n2, math.floor(
+          dot / math.sqrt(n2.toDouble * qn2) * 10000 + 0.5) / 10000.0)
+      }.filter(_._3 > 0)
+    }.sortBy { case (id, c, _, s) => (-s, id, c) }
+      .take(10).map { case (id, c, _, s) => (id, c, s) }
+    val got = TextAnalysis.chunkSearch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
   test("rrf fusion equals the hand-fused component rankings") {
     def ranked(rows: Seq[(Long, Double)]): Map[Long, Int] =
       rows.sortBy { case (id, s) => (-s, id) }

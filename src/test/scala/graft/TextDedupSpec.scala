@@ -230,4 +230,45 @@ class TextDedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"verdict join-back should broadcast:\n$plan")
   }
+
+  test("knn graph equals brute-force top-3 over the banded candidates") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sig(v: Array[Float], band: Int): Int =
+      (0 until 8).map(i => if (v(band * 8 + i) > 0) 1 << i else 0).sum
+    val candidates = scala.collection.mutable.Set.empty[(Long, Long)]
+    (0 until 8).foreach { band =>
+      vecs.keys.toSeq.groupBy(id => sig(vecs(id), band)).values.foreach { ids =>
+        val sorted = ids.sorted
+        for (x <- sorted.indices; y <- x + 1 until sorted.length)
+          candidates += ((sorted(x), sorted(y)))
+      }
+    }
+    def cos4(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      x.indices.foreach { i =>
+        val xi = x(i).toDouble; val yi = y(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+      }
+      // Spark's round(_, 4): BigDecimal.valueOf (shortest decimal
+      // representation), HALF_UP — NOT the exact binary expansion
+      java.math.BigDecimal.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    val expected = candidates.toSeq.flatMap { case (a, b) =>
+      val s = cos4(a, b); Seq((a, b, s), (b, a, s))
+    }.groupBy(_._1).flatMap { case (src, es) =>
+      es.sortBy { case (_, dst, s) => (-s, dst) }.take(3)
+        .zipWithIndex.map { case ((_, dst, s), i) => (src, i + 1, dst, s) }
+    }.toSet
+    val got = Dedup.knnGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected,
+      s"only-got=${(got -- expected).toSeq.sortBy(_._1).take(5)} " +
+        s"only-exp=${(expected -- got).toSeq.sortBy(_._1).take(5)}")
+  }
 }
