@@ -93,6 +93,8 @@ object SparkEntry {
     "knn_pq" -> ((s, d) => VectorIndex.pqSearch(s, d)),
     "knn_ivf_pq" -> ((s, d) => VectorIndex.ivfPqSearchStore(s, d)),
     "knn_mmr_ivf" -> ((s, d) => VectorIndex.ivfMmrStore(s, d)),
+    "knn_batch_ivf" -> ((s, d) => VectorIndex.batchIvfSearchStore(s, d)),
+    "ann_eval" -> ((s, d) => VectorIndex.annEval(s, d)),
     "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
     "lsh_search" -> ((s, d) => VectorIndex.lshSearchStore(s, d)),
     "lsh_filtered_json" -> ((s, d) => {
@@ -266,6 +268,31 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
        |    FROM fd) WHERE rn = 1)""".stripMargin
   }
+
+  /** Shared tail for the batch-through-the-index oracles: per-query probe
+    * selection over the replayed centroids (integer distances, ties to
+    * the smaller cid — same as the driver-side probe selection), then
+    * scoring restricted to vectors whose replayed store assignment `fa`
+    * falls in the query's probe set. Assumes the host query opened the
+    * ivfModelCtes chain. */
+  private val batchIvfCtes: String =
+    """qd AS (
+      |  SELECT e.vec_id AS query_id, c.cid, sum((c.cq - e.q) * (c.cq - e.q)) AS dd
+      |  FROM eq e JOIN c5 c USING (dim)
+      |  WHERE e.vec_id < 5 GROUP BY 1, 2),
+      |qprobes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT query_id, cid,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY dd, cid) AS rn
+      |    FROM qd) WHERE rn <= 4),
+      |sc AS (
+      |  SELECT p.query_id, e.vec_id,
+      |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
+      |  FROM fa f
+      |  JOIN qprobes p ON f.cid = p.cid
+      |  JOIN embeddings e ON e.vec_id = f.vec_id
+      |  JOIN embeddings q ON q.vec_id = p.query_id
+      |  WHERE e.vec_id >= 5)""".stripMargin
 
   /** Shared CTE chain for the PQ oracles: the same fixed-point Lloyd
     * replay as [[ivfModelCtes]] with the subspace id (`dim // 8`) added to
@@ -1173,6 +1200,43 @@ object SparkEntry {
       tail = """SELECT vec_id, label, centroid_id, score FROM cand
                |WHERE score >= 0.2
                |ORDER BY score DESC, vec_id""".stripMargin),
+    // batch-through-the-index: per-query probe sets from the replayed
+    // centroids, assignment-restricted scoring, per-query rank tail
+    "knn_batch_ivf" ->
+      (s"WITH $ivfModelCtes,\n" + batchIvfCtes + "\n" +
+        """SELECT query_id, vec_id, score, rank FROM (
+          |  SELECT query_id, vec_id, score,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+          |  FROM sc) WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin),
+    // recall@k of the pruned batch probe vs the exact batch scan, as data
+    "ann_eval" ->
+      (s"WITH $ivfModelCtes,\n" + batchIvfCtes + ",\n" +
+        """ap AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          |    FROM sc) WHERE rn <= 5),
+          |ex AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          |    FROM (
+          |      SELECT q.vec_id AS query_id, e.vec_id,
+          |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
+          |      FROM embeddings e CROSS JOIN embeddings q
+          |      WHERE q.vec_id < 5 AND e.vec_id >= 5))
+          |  WHERE rn <= 5),
+          |h AS (
+          |  SELECT ex.query_id, count(*) AS n_hit
+          |  FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1),
+          |pq AS (
+          |  SELECT q.query_id, coalesce(h.n_hit, 0) / 5.0 AS recall
+          |  FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id))
+          |SELECT count(*) AS n_queries, 5 AS k,
+          |  FLOOR(avg(recall) * 10000 + 0.5) / 10000.0 AS mean_recall,
+          |  FLOOR(min(recall) * 10000 + 0.5) / 10000.0 AS min_recall
+          |FROM pq""".stripMargin),
     // the PQ family replayed end to end: per-subspace fixed-point Lloyd
     // (pqModelCtes), then — for the search — the integer ADC LUT and the
     // exact re-rank of the top-fetchK candidates

@@ -736,6 +736,77 @@ object VectorIndex {
       scoreThreshold = Some(threshold))
   }
 
+  /** Batch kNN THROUGH the index — `knn_batch` composed with
+    * `index_enabled`: every query's nprobe partitions prune in ONE shared
+    * scan (the partition filter is the union of all probe sets — still
+    * file-index pruning), each pruned row joins only the queries that
+    * probe its partition via a broadcast (query_id, centroid, query_vec)
+    * probe table (nQueries·nprobe rows — query parameters, not data),
+    * and the per-query top-k is the TopKAgg partial aggregate. At 100 TB:
+    * queries ≪ corpus ride the task closure, the corpus is scanned once
+    * at union-probe IO, and the post-scoring shuffle carries k rows per
+    * query. */
+  def batchIvfSearchStore(
+      spark: SparkSession,
+      sfDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val path = ensureStore(spark, sfDir)
+    val centroids = readModel(spark, path, IvfLayout)
+    val queries = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val probePairs = queries.flatMap { case (qid, qv) =>
+      nearestCentroidIds(centroids, qv, nprobe)
+        .map(cid => (qid, cid, qv.toSeq))
+    }.toSeq
+    val allProbes = probePairs.map(_._2).distinct
+    val probeDf = probePairs.toDF("query_id", "p_cid", "query_vec")
+    val scored = resolvedPartitions(spark, path, IvfLayout, allProbes,
+      Some(col("vec_id") >= nQueries))
+      .join(broadcast(probeDf), col("centroid_id") === col("p_cid"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("embedding"), col("query_vec")), 4).as("score"))
+    KnnSearch.perQueryTopK(scored, k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Retrieval-quality evaluation as a first-class query: recall@k of the
+    * pruned batch probe ([[batchIvfSearchStore]]) against the exact batch
+    * scan over the same query set — the measurement loop a production
+    * store runs continuously (is the index still good enough?), expressed
+    * as one summary row. Everything downstream of the two k·nQueries-row
+    * results is bounded arithmetic. */
+  def annEval(
+      spark: SparkSession,
+      sfDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    val exact = KnnSearch.batchTopK(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = batchIvfSearchStore(spark, sfDir, nQueries, k, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    // left join back to the query list so a query with ZERO overlap still
+    // contributes 0 to the mean instead of vanishing
+    val perQuery = exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      lit(k).as("k"),
+      TextAnalysis.round4(avg(col("recall"))).as("mean_recall"),
+      TextAnalysis.round4(min(col("recall"))).as("min_recall"))
+  }
+
   /** IVF-PQ search through the materialized store — the classic pairing
     * (Jégou et al., TPAMI'11) the quantized-index family is built on:
     * the coarse quantizer prunes WHICH partitions are read (nprobe/k of

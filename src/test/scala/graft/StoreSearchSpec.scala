@@ -155,4 +155,39 @@ class StoreSearchSpec extends SparkSpec {
     assert(hits.forall(id => id >= 10000L && id < 20000L),
       s"shifted probe should hit the +10 cluster: ${hits.mkString(",")}")
   }
+
+  test("batch store probe equals per-query store probes; one scan, broadcast probe table") {
+    import org.apache.spark.sql.functions.col
+    val batch = VectorIndex.batchIvfSearchStore(spark, sfDir)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      "the shared scan must prune at the union of all probe sets")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the (query, probe) table must broadcast against the pruned scan")
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val path = VectorIndex.ensureStore(spark, sfDir)
+    val expected = (0L until 5L).flatMap { q =>
+      val qv = graft.operators.KnnSearch.queryVector(spark, sfDir, q)
+      VectorIndex.searchStore(spark, path, qv, k = 5,
+        filter = Some(col("vec_id") >= 5))
+        .collect().map(r => (q, r.getLong(0), r.getDouble(3)))
+    }
+    assert(got.sorted == expected.sorted)
+  }
+
+  test("annEval's summary equals the hand-joined recall of its two inputs") {
+    val exact = graft.operators.KnnSearch.batchTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val approx = VectorIndex.batchIvfSearchStore(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val recalls = exact.map { case (q, es) =>
+      val a = approx.getOrElse(q, Array.empty).map(_._2).toSet
+      es.count(e => a.contains(e._2)).toDouble / 5.0
+    }.toSeq
+    val r = VectorIndex.annEval(spark, sfDir).collect().head
+    assert(r.getLong(0) == recalls.size)
+    assert(math.abs(r.getDouble(2) - recalls.sum / recalls.size) < 1e-9)
+    assert(math.abs(r.getDouble(3) - recalls.min) < 1e-9)
+  }
 }
