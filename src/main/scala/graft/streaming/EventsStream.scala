@@ -127,4 +127,65 @@ object EventsStream {
         .select(col("user_id"), col("ts"), col("value"))
         .as[SessionEvent])
   }
+
+  // --- live funnel qualification -------------------------------------------
+
+  case class FunnelEvent(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+
+  /** Per-user funnel progress: which steps has this user completed.
+    * Three booleans per user — state is O(users), monotone (flags only
+    * ever turn on), so it never needs timeout-based eviction to stay
+    * bounded. */
+  case class FunnelState(view: Boolean, click: Boolean, purchase: Boolean)
+
+  case class FunnelOut(user_id: Long, s1: Int, s2: Int, s3: Int)
+
+  /** Streaming twin of `Analytics.eventsFunnel`'s per-user qualification:
+    * a `mapGroupsWithState` state machine — view arms the click step,
+    * a qualified click arms the purchase step. Events are ordered by
+    * (ts, event_id) WITHIN each micro-batch, so under in-event-time-order
+    * delivery the state machine matches the batch window formulation
+    * exactly (spec-asserted). Under late arrival the stream is the live
+    * approximation and the batch operator is the backfill truth — the
+    * same lambda-architecture contract as the windowed aggregation. */
+  def funnel(events: org.apache.spark.sql.Dataset[FunnelEvent])
+      : org.apache.spark.sql.Dataset[FunnelOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(false, false, false))
+          evs.toArray.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" => st = st.copy(view = true)
+              case "click" if st.view => st = st.copy(click = true)
+              case "purchase" if st.click => st = st.copy(purchase = true)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          FunnelOut(uid, if (st.view) 1 else 0, if (st.click) 1 else 0,
+            if (st.purchase) 1 else 0)
+      }
+  }
+
+  def funnelStream(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[FunnelOut] = {
+    import spark.implicits._
+    funnel(
+      spark.readStream
+        .schema(eventSchema)
+        .option("timestampFormat", TsFormat)
+        .json(dir)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .as[FunnelEvent])
+  }
 }

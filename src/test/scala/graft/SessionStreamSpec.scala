@@ -47,4 +47,52 @@ class SessionStreamSpec extends SparkSpec {
     assert(streamed == batch,
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
+
+  test("mapGroupsWithState funnel matches the batch funnel counts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("events_funnel").toString
+
+    // stage the funnel events in three event-time-ordered files so the
+    // state machine crosses micro-batch boundaries (maxFilesPerTrigger=1)
+    val ev = Tables.events(spark, sfDir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    Seq(
+      ev.where(col("ts") <= to_timestamp(lit("2024-01-10"))),
+      ev.where(col("ts") > to_timestamp(lit("2024-01-10")) &&
+        col("ts") <= to_timestamp(lit("2024-01-20"))),
+      ev.where(col("ts") > to_timestamp(lit("2024-01-20"))))
+      .zipWithIndex.foreach { case (part, i) =>
+        part.coalesce(1).write
+          .option("timestampFormat", EventsStream.TsFormat)
+          .mode(if (i == 0) "overwrite" else "append").json(dir)
+        Thread.sleep(1100) // distinct file mod times => deterministic order
+      }
+
+    val q = spark.readStream.schema(EventsStream.eventSchema)
+      .option("timestampFormat", EventsStream.TsFormat)
+      .option("maxFilesPerTrigger", "1")
+      .json(dir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[EventsStream.FunnelEvent]
+      .transform(EventsStream.funnel)
+      .writeStream.format("memory").queryName("funnel_stream_spec")
+      .outputMode("update").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // flags are monotone: the user's final state is the max over updates
+    val streamed = spark.table("funnel_stream_spec")
+      .groupBy(col("user_id"))
+      .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"),
+        max(col("s3")).as("s3"))
+      .agg(count(lit(1)), sum(col("s1")), sum(col("s2")), sum(col("s3")))
+      .collect().head
+    val batchRow = Analytics.eventsFunnel(spark, sfDir).collect().head
+    assert(streamed.getLong(0) == batchRow.getLong(0))
+    assert(streamed.getLong(1) == batchRow.getLong(1))
+    assert(streamed.getLong(2) == batchRow.getLong(2))
+    assert(streamed.getLong(3) == batchRow.getLong(3))
+  }
 }
