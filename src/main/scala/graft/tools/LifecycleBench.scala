@@ -64,6 +64,10 @@ object LifecycleBench {
       (p, ids, g) => VectorIndex.deleteFromStore(spark, p, ids, g),
       p => VectorIndex.compactStore(spark, p),
       p => noop(VectorIndex.searchStore(spark, p, qv, k = 10, nprobe = 4)))
+    // the ADC path against the same compacted store (codes column
+    // maintained through the append/delete/compact cycle above)
+    timed("ivf_pq_search_compacted")(
+      noop(VectorIndex.ivfPqSearchStoreAt(spark, ivfPath, qv, k = 10)))
     run("lsh",
       p => VectorIndex.writeLshStore(spark, sfDir, p),
       (p, b, g) => VectorIndex.appendLshStore(spark, p, b, g),

@@ -31,6 +31,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"text_search plan gained a shuffle:\n$plan")
   }
 
+  test("chunk search fuses chunk+featurize+score into one scan: no exchange") {
+    val plan = executedPlan(TextAnalysis.chunkSearch(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"),
+      s"chunk_search plan gained a shuffle:\n$plan")
+  }
+
+  test("bm25 scoring is a map-only scan over literal terms: no exchange, no join") {
+    val plan = executedPlan(TextAnalysis.bm25(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), s"bm25 plan gained a shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"bm25 corpus side must not join:\n$plan")
+  }
+
   test("corpus_pack cumsum is a distributed prefix sum, not a per-language window") {
     // the r4 rework (VERDICT r3 item 1): the per-document cumulative sum
     // must be windowed by (lang, shard) — bounded state per window
