@@ -289,24 +289,25 @@ object Analytics {
     * retention cell = distinct users of cohort `c` active `age` weeks
     * later.
     *
-    * Scale shape: distinct (user, week) pairs first (one shuffle,
-    * map-side-partial — collapses the per-user event volume to ≤ weeks
-    * rows per user), then the cohort min and the cell counts reuse the
-    * user-keyed distribution; the cohort join is user-keyed against the
-    * already-distinct activity set, never against raw events. */
-  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame = {
-    val activity = Tables.events(spark, sfDir)
+    * Scale shape: ONE user-keyed shuffle — `collect_set(week)` partial-
+    * aggregates map-side (per-user state is bounded by the number of
+    * DISTINCT WEEKS, not events), cohort = `array_min` of the set, and
+    * the exploded (cohort, age) rows are already one-per-(user, week) so
+    * the cell counts are a plain second (tiny) aggregate. This replaces
+    * the distinct → min → self-join formulation, which paid three
+    * shuffles of the activity set. */
+  def eventsRetention(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
       .select(col("user_id"),
         expr("(unix_micros(ts) div 86400000000) div 7").as("week"))
-      .distinct()
-    val cohort = activity.groupBy(col("user_id"))
-      .agg(min(col("week")).as("cohort_week"))
-    activity.join(cohort, "user_id")
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("week")).as("weeks"))
+      .select(col("user_id"), array_min(col("weeks")).as("cohort_week"),
+        explode(col("weeks")).as("week"))
       .groupBy(col("cohort_week"),
         (col("week") - col("cohort_week")).as("age_weeks"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_week"), col("age_weeks"))
-  }
 
   def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
