@@ -50,6 +50,7 @@ object SparkEntry {
     "events_asof" -> ((s, d) => Analytics.eventsAsof(s, d)),
     "events_funnel" -> ((s, d) => Analytics.eventsFunnel(s, d)),
     "events_retention" -> ((s, d) => Analytics.eventsRetention(s, d)),
+    "events_anomaly" -> ((s, d) => Analytics.eventsAnomaly(s, d)),
     // --- text analysis (training-data pipeline) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tokens_bpe" -> ((s, d) => TextAnalysis.tokensBpe(s, d)),
@@ -58,6 +59,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_featurize" -> ((s, d) => TextAnalysis.featurize(s, d)),
     "text_search" -> ((s, d) => TextAnalysis.textSearch(s, d)),
+    "text_ppl" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
     "doc_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "chunk_search" -> ((s, d) => TextAnalysis.chunkSearch(s, d)),
     "bm25_search" -> ((s, d) => TextAnalysis.bm25(s, d)),
@@ -67,6 +69,8 @@ object SparkEntry {
     "corpus_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
     "corpus_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "corpus_mix" -> ((s, d) => CorpusOps.mix(s, d)),
+    "corpus_vocab" -> ((s, d) => CorpusOps.vocab(s, d)),
+    "corpus_shuffle" -> ((s, d) => CorpusOps.shuffleAssign(s, d)),
     // --- deduplication (training-data pipeline) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -533,6 +537,23 @@ object SparkEntry {
         |FROM a JOIN c USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // the z-score test replayed EXACTLY: cents quantization + the
+    // squared-both-sides integer comparison, HUGEINT headroom
+    "events_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(vc) AS BIGINT) AS sv,
+        |    CAST(sum(vc * vc) AS BIGINT) AS svv
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value
+        |FROM e JOIN s USING (event_type)
+        |WHERE CAST(n * vc - sv AS HUGEINT) * CAST(n * vc - sv AS HUGEINT)
+        |  > 9 * (CAST(n AS HUGEINT) * svv - CAST(sv AS HUGEINT) * sv)
+        |ORDER BY event_id""".stripMargin,
     "events_props_json" ->
       """SELECT event_type, count(*) AS n_events,
         |  FLOOR(avg(k) * 10000 + 0.5) / 10000.0 AS avg_k,
@@ -881,6 +902,47 @@ object SparkEntry {
           |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
           |ORDER BY rrf DESC, doc_id
           |LIMIT 10""".stripMargin),
+    "corpus_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |      FROM documents)
+        |GROUP BY 1
+        |ORDER BY n DESC, token
+        |LIMIT 200""".stripMargin,
+    // deterministic shuffle replayed as one ranked window — the Spark
+    // side's (bucket offsets + local window) composition equals rank
+    // under the (bucket, ord, doc_id) order by construction
+    "corpus_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(text, '.')]),
+        |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp % 16 AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY fp % 16
+        |    ORDER BY (fp // 16) % 64, fp // 1024, doc_id) - 1 AS BIGINT) AS pos
+        |FROM d
+        |ORDER BY shard, pos""".stripMargin,
+    // per-token log-probs quantize to 1e-4 Longs BEFORE the per-doc sum
+    // (integer sums are order-free); ln pinned per distinct count value
+    "text_ppl" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM e),
+        |vq AS (
+        |  SELECT token,
+        |    CAST(floor(ln(CAST(n AS DOUBLE) / n_total) * 10000 + 0.5) AS BIGINT) AS logq
+        |  FROM v, t)
+        |SELECT e.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(vq.logq) AS BIGINT) AS sum_logq,
+        |  FLOOR(CAST(sum(vq.logq) AS BIGINT) / (count(*) * 10000.0) * 10000 + 0.5) / 10000.0 AS avg_logprob
+        |FROM e JOIN vq USING (token)
+        |GROUP BY 1
+        |ORDER BY doc_id""".stripMargin,
     "corpus_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
         |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,

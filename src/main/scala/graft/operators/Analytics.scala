@@ -309,6 +309,33 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_week"), col("age_weeks"))
 
+  /** Per-type z-score outliers over the event stream — the monitoring
+    * stage of an event pipeline (fraud/telemetry spikes). The test
+    * |v − μ| > z·σ_pop is evaluated EXACTLY: values quantize to cents,
+    * and the comparison squares both sides —
+    * (n·v − Σv)² > z²·(n·Σv² − (Σv)²) — so it is pure integer/decimal
+    * arithmetic with no sqrt, no division, and no float-order
+    * sensitivity (the headroom is decimal(38), good far past the bench
+    * scales).
+    *
+    * Scale shape: one map-side-partial aggregate to the per-type stats
+    * (5 rows), broadcast back onto the scan — the events never shuffle. */
+  def eventsAnomaly(spark: SparkSession, sfDir: String, z: Int = 3): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("cast(floor(value * 100 + 0.5) as long)").as("vc"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("vc")).as("sv"),
+      sum(expr("vc * vc")).as("svv"))
+    ev.join(broadcast(stats), "event_type")
+      .where(expr(
+        s"""cast(n * vc - sv as decimal(38,0)) * cast(n * vc - sv as decimal(38,0))
+           | > ${z * z} * (cast(n as decimal(38,0)) * svv
+           |               - cast(sv as decimal(38,0)) * sv)""".stripMargin))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .withColumn("k",

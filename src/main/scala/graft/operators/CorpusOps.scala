@@ -19,6 +19,67 @@ object CorpusOps {
 
   private def toks = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
 
+  /** Corpus vocabulary: top-`topK` tokens by frequency — the input a
+    * tokenizer/BPE training run starts from (merge candidates come from
+    * exactly this table).
+    *
+    * Scale shape: explode → token-keyed count with MAP-SIDE partial
+    * aggregation (each task pre-collapses its tokens to its local vocab,
+    * so the shuffle carries |local vocab| rows per task, not tokens) →
+    * TakeOrdered topK. Never a global sort. */
+  def vocab(spark: SparkSession, sfDir: String, topK: Int = 200): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(toks).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topK)
+
+  /** Deterministic training-order shuffle: every document gets a
+    * pseudo-random (shard, pos) — shard = fingerprint mod `shards`, and
+    * `pos` a gapless 0-based position within its shard under the
+    * fingerprint-then-id order — so a training run reads shard files in
+    * a reproducible random permutation of the corpus (same property the
+    * fingerprint-mod sampling gives [[sample]]: run-stable, no RNG
+    * state).
+    *
+    * Scale shape: the same distributed prefix sum as [[packSequences]] —
+    * positions are computed per (shard, BUCKET) window (bucket = a
+    * second fingerprint slice, so window partitions stay bounded at any
+    * corpus size) plus broadcast per-bucket offsets; a naive
+    * `row_number over shard` would sort each shard's whole slice of a
+    * 100 TB corpus in one task. */
+  def shuffleAssign(
+      spark: SparkSession,
+      sfDir: String,
+      shards: Int = 16,
+      buckets: Int = 64): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextFunctions.polyFingerprint(col("text")).as("fp"))
+      .select(col("doc_id"),
+        expr(s"fp % $shards").as("shard"),
+        expr(s"(fp div $shards) % $buckets").as("bucket"),
+        expr(s"fp div ${shards.toLong * buckets}").as("ord"))
+    val offsets = base.groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(
+          Window.partitionBy(col("shard")).orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("shard").as("o_shard"), col("bucket").as("o_bucket"),
+        col("off"))
+    val local = Window.partitionBy(col("shard"), col("bucket"))
+      .orderBy(col("ord"), col("doc_id"))
+    base
+      .join(broadcast(offsets),
+        col("shard") === col("o_shard") && col("bucket") === col("o_bucket"))
+      .select(col("doc_id"), col("shard"),
+        (col("off") + row_number().over(local) - 1).as("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** Corpus health: one map-side-partial aggregate over the documents
     * scan — the corpus-side analogue of the reference's `/health` store
     * stats (app.py:173). */

@@ -262,6 +262,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Unigram log-probability quality proxy — the CCNet/Gopher-style
+    * language-model filter: score each document by the mean surprisal of
+    * its tokens under the corpus's own unigram distribution (gibberish
+    * and boilerplate both land in the tails). A real LM is out of engine
+    * scope; the unigram proxy is the deterministic, model-free stage of
+    * that pipeline.
+    *
+    * Determinism: per-token log-probabilities quantize to 1e-4 Longs
+    * (`floor(ln(n/N)·10⁴ + 0.5)`) BEFORE the per-document sum — integer
+    * sums carry no accumulation-order dependence, so the result is
+    * engine-independent even though ln is transcendental (the boundary
+    * risk is per distinct count value, pinned by the oracle replaying
+    * the same quantization).
+    *
+    * Scale shape: the unigram table is one token-keyed aggregate
+    * (map-side partial, vocab-sized result — a tokenizer-input vocab is
+    * bounded by design); the scoring join broadcasts it; the per-doc
+    * rollup reuses the doc-keyed explode. */
+  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(
+        toks.agg(count(lit(1)).as("n_total"))))
+      .select(col("token"),
+        floor(log(col("n") / col("n_total")) * 10000 + lit(0.5))
+          .cast("long").as("logq"))
+    toks.join(broadcast(vocab), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logq")).as("sum_logq"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_logq"),
+        round4(col("sum_logq") / (col("n_tokens") * lit(10000.0)))
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** RAG ingestion chunking — the document-splitting stage that feeds the
     * reference store's `add_texts` path (app.py:24-47 indexes documents the
     * LangChain loader has already split into retrieval-sized pieces; the
