@@ -601,11 +601,18 @@ object VectorIndex {
     * into the pruned scan. */
   private def resolvedPartitions(
       spark: SparkSession, path: String, layout: StoreLayout,
-      parts: Seq[Int], filter: Option[Column]): DataFrame = {
-    val pruned = spark.read.parquet(s"$path/vectors")
+      parts: Seq[Int], filter: Option[Column],
+      asOfGen: Option[Long] = None): DataFrame = {
+    val prunedAll = spark.read.parquet(s"$path/vectors")
       .where(col(layout.partCol).isin(parts: _*))
+    // snapshot read: drop every generation newer than the requested one
+    // BEFORE resolution — the generational layout already is a full
+    // version history until compaction folds it, so time travel is a
+    // row-group-prunable filter, not a different storage format. (After
+    // compaction everything is gen 0: compaction is the declared horizon.)
+    val pruned = asOfGen.fold(prunedAll)(g => prunedAll.where(col("gen") <= g))
     val resolved =
-      if (isSingleGen(spark, path))
+      if (asOfGen.isEmpty && isSingleGen(spark, path))
         pruned.where(!col("deleted"))
           .select(col("vec_id"), col("label"), col("metadata"),
             col(layout.partCol), col("embedding"))
@@ -633,10 +640,11 @@ object VectorIndex {
       path: String,
       queryVec: Array[Float],
       nprobe: Int,
-      filter: Option[Column]): DataFrame = {
+      filter: Option[Column],
+      asOfGen: Option[Long] = None): DataFrame = {
     val centroids = readModel(spark, path, IvfLayout)
     resolvedPartitions(spark, path, IvfLayout,
-      nearestCentroidIds(centroids, queryVec, nprobe), filter)
+      nearestCentroidIds(centroids, queryVec, nprobe), filter, asOfGen)
   }
 
   /** Search a materialized IVF store. The `centroid_id IN (...)` predicate
@@ -660,8 +668,9 @@ object VectorIndex {
       nprobe: Int = 4,
       filter: Option[Column] = None,
       strategy: KnnSearch.Strategy = KnnSearch.Cosine,
-      scoreThreshold: Option[Double] = None): DataFrame = {
-    val scored = resolvedProbe(spark, path, queryVec, nprobe, filter)
+      scoreThreshold: Option[Double] = None,
+      asOfGen: Option[Long] = None): DataFrame = {
+    val scored = resolvedProbe(spark, path, queryVec, nprobe, filter, asOfGen)
       .select(col("vec_id"), col("label"), col("centroid_id"),
         round(strategy.score(col("embedding"), typedLit(queryVec)), 4)
           .as("score"))

@@ -176,6 +176,30 @@ class StoreSearchSpec extends SparkSpec {
     assert(got.sorted == expected.sorted)
   }
 
+  test("generation time travel: asOfGen searches the store as it then was") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val qv = graft.operators.KnnSearch.queryVector(spark, sfDir, 0L)
+    def top(asOf: Option[Long]): Seq[Long] =
+      VectorIndex.searchStore(spark, path, qv, k = 5,
+        filter = Some(col("vec_id") =!= 0L), asOfGen = asOf)
+        .collect().map(_.getLong(0)).toSeq
+    val base = top(None)
+    // gen 1 appends a copy of the query vector: current search sees it
+    VectorIndex.appendStore(spark, path,
+      Seq((9001L, 7, qv.toSeq)).toDF("vec_id", "label", "embedding"), gen = 1L)
+    assert(top(None).head == 9001L)
+    // ... but the gen-0 snapshot still answers as the store then was
+    assert(top(Some(0L)) == base)
+    // gen 2 tombstones it: current search misses it, the gen-1 snapshot
+    // still sees it
+    VectorIndex.deleteFromStore(spark, path, Seq(9001L), gen = 2L)
+    assert(top(None) == base)
+    assert(top(Some(1L)).head == 9001L)
+  }
+
   test("annEval's summary equals the hand-joined recall of its two inputs") {
     val exact = graft.operators.KnnSearch.batchTopK(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
