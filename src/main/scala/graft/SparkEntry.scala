@@ -547,11 +547,11 @@ object SparkEntry {
         |s AS (
         |  SELECT event_type, count(*) AS n,
         |    CAST(sum(vc) AS BIGINT) AS sv,
-        |    CAST(sum(vc * vc) AS BIGINT) AS svv
+        |    sum(CAST(vc AS HUGEINT) * vc) AS svv
         |  FROM e GROUP BY 1)
         |SELECT e.event_id, e.event_type, e.value
         |FROM e JOIN s USING (event_type)
-        |WHERE CAST(n * vc - sv AS HUGEINT) * CAST(n * vc - sv AS HUGEINT)
+        |WHERE (CAST(n AS HUGEINT) * vc - sv) * (CAST(n AS HUGEINT) * vc - sv)
         |  > 9 * (CAST(n AS HUGEINT) * svv - CAST(sv AS HUGEINT) * sv)
         |ORDER BY event_id""".stripMargin,
     "events_props_json" ->

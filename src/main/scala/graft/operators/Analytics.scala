@@ -324,12 +324,15 @@ object Analytics {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"),
         expr("cast(floor(value * 100 + 0.5) as long)").as("vc"))
+    // every product forms IN decimal(38,0) — a Long product like vc·vc
+    // would wrap silently (Spark non-ANSI) long before any outer cast
+    // could widen it
     val stats = ev.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"), sum(col("vc")).as("sv"),
-      sum(expr("vc * vc")).as("svv"))
+      sum(expr("cast(vc as decimal(38,0)) * vc")).as("svv"))
     ev.join(broadcast(stats), "event_type")
       .where(expr(
-        s"""cast(n * vc - sv as decimal(38,0)) * cast(n * vc - sv as decimal(38,0))
+        s"""(cast(n as decimal(38,0)) * vc - sv) * (cast(n as decimal(38,0)) * vc - sv)
            | > ${z * z} * (cast(n as decimal(38,0)) * svv
            |               - cast(sv as decimal(38,0)) * sv)""".stripMargin))
       .select(col("event_id"), col("event_type"), col("value"))

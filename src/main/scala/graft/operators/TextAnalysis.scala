@@ -285,9 +285,13 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
           .as("token"))
+    // n_total folds from the vocab-sized counts (a single-partition
+    // window over ~|vocab| rows) — NOT a second tokenization pass over
+    // the corpus
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(
-        toks.agg(count(lit(1)).as("n_total"))))
+      .withColumn("n_total",
+        sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
       .select(col("token"),
         floor(log(col("n") / col("n_total")) * 10000 + lit(0.5))
           .cast("long").as("logq"))
@@ -362,12 +366,17 @@ object TextAnalysis {
       sfDir: String,
       terms: Seq[String] = Seq("spark", "merge", "vector"),
       k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "bm25 terms must be non-empty and unique (duplicates double-count idf)")
     val toks = Tables.documents(spark, sfDir)
       .withColumn("tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
       .select(
         (col("doc_id") +: size(col("tk")).cast("long").as("dl") +:
           terms.zipWithIndex.map { case (t, i) =>
-            size(expr(s"filter(tk, x -> x = '$t')")).cast("long").as(s"tf$i")
+            // typed lit, not string interpolation: a term containing a
+            // quote must compare (and never match), not break the parse
+            size(filter(col("tk"), x => x === lit(t))).cast("long")
+              .as(s"tf$i")
           }): _*)
     val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
       terms.indices.map(i =>

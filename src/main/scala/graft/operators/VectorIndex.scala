@@ -849,15 +849,11 @@ object VectorIndex {
       nprobe: Int = 4,
       fetchK: Int = 50,
       excludeId: Option[Long] = None): DataFrame = {
+    require(hasPqModel(spark, path),
+      s"store at $path has no PQ codes (built before PQ support, or an " +
+        "LSH store) — rebuild with writeStore or use searchStore")
     val cb = readPqModel(spark, path)
-    val qq = qv.map(x => IndexOps.quantize(x.toDouble))
-    val lut: Array[Array[Long]] = Array.tabulate(PqM)(s =>
-      Array.tabulate(K)(c =>
-        (0 until PqSubDim).map(d =>
-          qq(s * PqSubDim + d) * IndexOps.quantize(cb(s)(c)(d).toDouble)).sum))
-    val adc = (0 until PqM).map(s =>
-      element_at(typedLit(lut(s)),
-        element_at(col("codes"), lit(s + 1)) + lit(1))).reduce(_ + _)
+    val adc = adcColumn(cb, qv)
     val centroids = readModel(spark, path, IvfLayout)
     val probes = nearestCentroidIds(centroids, qv, nprobe)
     val pruned = spark.read.parquet(s"$path/vectors")
@@ -1159,6 +1155,25 @@ object VectorIndex {
         slice(col("embedding"), s * PqSubDim + 1, PqSubDim), cb(s))
         .getField("centroid_id")): _*)
 
+  /** The integer ADC score column for a query against PQ codebooks: the
+    * per-subspace LUT of exact fixed-point inner products rides as array
+    * literals, the row side sums 8 `element_at` lookups over its `codes`
+    * column. Sized by `cb(s).length`, not K — codebooks are smaller than
+    * K on corpora with fewer than K vectors. Shared by [[pqSearch]] and
+    * [[ivfPqSearchStoreAt]] so the quantization scale and lookup
+    * arithmetic can never diverge between the inline and store paths. */
+  private def adcColumn(
+      cb: Array[Array[Array[Float]]], qv: Array[Float]): Column = {
+    val qq = qv.map(x => IndexOps.quantize(x.toDouble))
+    val lut: Array[Array[Long]] = Array.tabulate(PqM)(s =>
+      Array.tabulate(cb(s).length)(c =>
+        (0 until PqSubDim).map(d =>
+          qq(s * PqSubDim + d) * IndexOps.quantize(cb(s)(c)(d).toDouble)).sum))
+    (0 until PqM).map(s =>
+      element_at(typedLit(lut(s)),
+        element_at(col("codes"), lit(s + 1)) + lit(1))).reduce(_ + _)
+  }
+
   /** PQ build: every vector's 8 sub-codes — 64× compression of the float
     * payload (256 B → 8 nibble-sized codes) for the ADC scan. One
     * codegen'd map pass, exploded to (vec_id, sub, code). */
@@ -1186,18 +1201,10 @@ object VectorIndex {
       queryVecId: Long = 0L): DataFrame = {
     val cb = trainPqCodebooks(spark, sfDir)
     val qv = KnnSearch.queryVector(spark, sfDir, queryVecId)
-    val qq = qv.map(x => IndexOps.quantize(x.toDouble))
-    val lut: Array[Array[Long]] = Array.tabulate(PqM)(s =>
-      Array.tabulate(K)(c =>
-        (0 until PqSubDim).map(d =>
-          qq(s * PqSubDim + d) * IndexOps.quantize(cb(s)(c)(d).toDouble)).sum))
-    val adc = (0 until PqM).map(s =>
-      element_at(typedLit(lut(s)),
-        element_at(col("codes"), lit(s + 1)) + lit(1))).reduce(_ + _)
     val cand = Tables.embeddings(spark, sfDir)
       .where(col("vec_id") =!= queryVecId)
       .withColumn("codes", pqCodesCol(cb))
-      .select(col("vec_id"), adc.as("adc"))
+      .select(col("vec_id"), adcColumn(cb, qv).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(fetchK)
     Tables.embeddings(spark, sfDir)

@@ -57,6 +57,11 @@ class SessionStreamSpec extends SparkSpec {
     val ev = Tables.events(spark, sfDir)
       .where(col("event_type").isin("view", "click", "purchase"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // stamp each stage's files with explicitly increasing mod times —
+    // the file source orders by mtime, and relying on wall-clock write
+    // spacing would make micro-batch order timing-dependent
+    val stamped = scala.collection.mutable.Set.empty[java.io.File]
+    val baseMs = 1700000000000L
     Seq(
       ev.where(col("ts") <= to_timestamp(lit("2024-01-10"))),
       ev.where(col("ts") > to_timestamp(lit("2024-01-10")) &&
@@ -66,7 +71,12 @@ class SessionStreamSpec extends SparkSpec {
         part.coalesce(1).write
           .option("timestampFormat", EventsStream.TsFormat)
           .mode(if (i == 0) "overwrite" else "append").json(dir)
-        Thread.sleep(1100) // distinct file mod times => deterministic order
+        new java.io.File(dir).listFiles()
+          .filter(f => f.getName.endsWith(".json") && !stamped(f))
+          .foreach { f =>
+            assert(f.setLastModified(baseMs + i * 60000L))
+            stamped += f
+          }
       }
 
     val q = spark.readStream.schema(EventsStream.eventSchema)
