@@ -37,6 +37,7 @@ object GraftExtensions {
     ("l2_dist", 2, es => L2Distance(es(0), es(1))),
     ("l2_norm", 1, es => L2Norm(es.head)),
     ("l2_normalize", 1, es => L2Normalize(es.head)),
+    ("normalized_dot", 2, es => NormalizedDot(es(0), es(1))),
     ("poly_fingerprint", 1, es => PolyFingerprint(es.head)),
     ("minhash_sig", 1, es => MinHashSig(es.head)),
     ("minhash_sig_hashes", 1, es => MinHashSigHashes(es.head)),
