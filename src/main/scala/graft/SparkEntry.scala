@@ -41,6 +41,8 @@ object SparkEntry {
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_join" -> ((s, d) => Analytics.q3(s, d)),
     "q5_join" -> ((s, d) => Analytics.q5(s, d)),
+    "q9_profit" -> ((s, d) => Analytics.q9(s, d)),
+    "q18_big_orders" -> ((s, d) => Analytics.q18(s, d)),
     "topk_per_group" -> ((s, d) => Analytics.topKPerGroup(s, d)),
     "events_window" -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
@@ -635,6 +637,29 @@ object SparkEntry {
         |    AND l_shipdate > TIMESTAMP '1996-01-01'
         |  GROUP BY 1, 2)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  ROUND(o_totalprice, 2) AS o_totalprice,
+        |  ROUND(total_qty, 2) AS total_qty
+        |FROM (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) big
+        |JOIN orders ON big.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY ROUND(o_totalprice, 2) DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q5_join" ->
       """SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -59,6 +59,60 @@ object Analytics {
       .limit(10)
   }
 
+  /** TPC-H Q9 pattern (adapted: the driver schema has no partsupp, so
+    * profit reduces to discounted revenue): revenue by supplier nation ×
+    * order year for a part-name family. All dimensions broadcast;
+    * lineitem joins map-side and partial-aggregates before its one
+    * shuffle to (nation, year) groups. */
+  def q9(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .where(col("p_name").contains("red"))
+      .select(col("p_partkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nation = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** TPC-H Q18 pattern (large-volume orders): the HAVING subquery is one
+    * orderkey-keyed aggregate whose qualifying set (rare big orders) is
+    * small — AQE broadcasts it back against orders/lineitem, so the big
+    * tables never shuffle for the join. `l_quantity` is integer-valued,
+    * so the qualifying sums are exact in any accumulation order. */
+  def q18(spark: SparkSession, sfDir: String, threshold: Int = 250): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > threshold)
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"))
+    broadcast(big)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("total_qty"), 2).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** TPC-H Q5 pattern: 6-way star join with region filter; all dimension
     * tables broadcast, lineitem never shuffles before aggregation. */
   def q5(spark: SparkSession, sfDir: String): DataFrame = {
