@@ -37,6 +37,8 @@ object SparkEntry {
     "rag_context" -> ((s, d) => RagContext.context(s, d)),
     "rag_text" -> ((s, d) => RagContext.contextFromText(s, d)),
     "hybrid_rrf" -> ((s, d) => RagContext.hybridRrf(s, d)),
+    "hybrid_rrf_ivf" -> ((s, d) =>
+      RagContext.hybridRrf(s, d, vecFromStore = true)),
     // --- relational analytics ---
     "q1_agg" -> ((s, d) => Analytics.q1(s, d)),
     "q3_join" -> ((s, d) => Analytics.q3(s, d)),
@@ -110,6 +112,7 @@ object SparkEntry {
     }),
     // --- multimodal (stubbed decode, real plumbing) ---
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
+    "mm_dedup" -> ((s, d) => Multimodal.contentDedup(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
     // --- composed pipeline ---
@@ -968,6 +971,43 @@ object SparkEntry {
         |FROM e JOIN vq USING (token)
         |GROUP BY 1
         |ORDER BY doc_id""".stripMargin,
+    // hybrid through the index: the vector ranks come from the replayed
+    // pruned IVF probe instead of the exact scan; fusion identical
+    "hybrid_rrf_ivf" ->
+      (s"WITH $ivfModelCtes,\n$textSearchCtes,\n" +
+        """qq AS (SELECT dim, q FROM eq WHERE vec_id = 0),
+          |probes AS (
+          |  SELECT cid FROM (
+          |    SELECT c.cid, sum((c.cq - q.q) * (c.cq - q.q)) AS dd
+          |    FROM c5 c JOIN qq q USING (dim) GROUP BY 1)
+          |  ORDER BY dd, cid LIMIT 4),
+          |qv2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+          |vcand AS (
+          |  SELECT e.vec_id,
+          |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv2.v), 4) AS score
+          |  FROM fa f JOIN embeddings e USING (vec_id), qv2
+          |  WHERE f.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0),
+          |vr AS (
+          |  SELECT vec_id AS doc_id,
+          |    CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INTEGER) AS r_vec
+          |  FROM (SELECT vec_id, score FROM vcand ORDER BY score DESC, vec_id LIMIT 20)),
+          |tr AS (
+          |  SELECT doc_id,
+          |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS r_text
+          |  FROM (
+          |    SELECT doc_id,
+          |      FLOOR(dot / sqrt(CAST(norm2 AS DOUBLE) * CAST((SELECT qnorm2 FROM qn) AS DOUBLE)) * 10000 + 0.5) / 10000.0 AS score
+          |    FROM s
+          |    ORDER BY score DESC, doc_id
+          |    LIMIT 20))
+          |SELECT COALESCE(tr.doc_id, vr.doc_id) AS doc_id, r_text, r_vec,
+          |  FLOOR((
+          |    (CASE WHEN r_text IS NULL THEN 0.0 ELSE 1.0 / (r_text + 60) END)
+          |    + (CASE WHEN r_vec IS NULL THEN 0.0 ELSE 1.0 / (r_vec + 60) END)
+          |  ) * 10000 + 0.5) / 10000.0 AS rrf
+          |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+          |ORDER BY rrf DESC, doc_id
+          |LIMIT 10""".stripMargin),
     "corpus_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
         |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
@@ -1489,6 +1529,16 @@ object SparkEntry {
          |  FROM d) WHERE rn <= 3
          |ORDER BY src, rank""".stripMargin
     },
+    "mm_dedup" ->
+      """WITH hsh AS (
+        |  SELECT doc_id, md5(text) AS content_md5 FROM documents),
+        |g AS (
+        |  SELECT content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM hsh GROUP BY 1)
+        |SELECT hsh.doc_id, hsh.content_md5, g.keep_id, g.n_copies,
+        |  hsh.doc_id = g.keep_id AS keep
+        |FROM hsh JOIN g USING (content_md5)
+        |ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  substring(hex(encode(text)), 1, 8) AS magic,

@@ -73,6 +73,25 @@ object Multimodal {
   def meta(spark: SparkSession, sfDir: String): DataFrame =
     decodeMeta(spark, sfDir).toDF().orderBy("doc_id")
 
+  /** Exact content-hash dedup of the media assets — the standard FIRST
+    * pass of a multimodal pipeline (bitwise-identical images/clips
+    * re-crawled under different ids dedupe before any decode happens).
+    * One md5-keyed hash aggregate, map-side partial; the payload bytes
+    * never shuffle — only (hash, id) pairs do. Keeper = smallest doc_id
+    * per content group, every asset gets a verdict. */
+  def contentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hashed = mediaTable(spark, sfDir).toDF()
+      .select(col("doc_id"), md5(col("payload")).as("content_md5"))
+    val groups = hashed
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(groups, "content_md5")
+      .select(col("doc_id"), col("content_md5"), col("keep_id"),
+        col("n_copies"), (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One sampled video frame: index + a (stub) extracted scalar feature. */
   case class FrameSample(doc_id: Long, frame_idx: Int, brightness: Int)
 

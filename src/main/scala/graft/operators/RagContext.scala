@@ -46,14 +46,20 @@ object RagContext {
       sfDir: String,
       k: Int = 10,
       fetchK: Int = 20,
-      c: Int = 60): DataFrame = {
+      c: Int = 60,
+      vecFromStore: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // single-partition windows are safe: each input is ≤ fetchK rows
     val text = TextAnalysis.textSearch(spark, sfDir, k = fetchK)
       .withColumn("r_text", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("r_text"))
-    val vec = KnnSearch.topK(spark, sfDir, KnnSearch.Cosine, k = fetchK)
+    // `vecFromStore` runs the vector side through the materialized IVF
+    // probe (hybrid with index_enabled) — same contract, pruned IO
+    val vecBase =
+      if (vecFromStore) VectorIndex.ivfSearchStore(spark, sfDir, k = fetchK)
+      else KnnSearch.topK(spark, sfDir, KnnSearch.Cosine, k = fetchK)
+    val vec = vecBase
       .withColumn("r_vec", row_number().over(
         Window.orderBy(col("score").desc, col("vec_id"))))
       .select(col("vec_id").as("doc_id"), col("r_vec"))
