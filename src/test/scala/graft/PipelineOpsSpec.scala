@@ -65,6 +65,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q18 returns only qualifying orders, descending by price") {
+    val rows = Analytics.q18(spark, sfDir).collect()
+      .map(r => (r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 > 250), "every order must exceed the threshold")
+    val prices = rows.map(_._2).toSeq
+    assert(prices.zip(prices.drop(1)).forall { case (a, b) => a >= b },
+      "descending by total price")
+    // qualifying sums agree with a direct aggregate
+    val direct = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+      .where(col("q") > 250).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (ok, _, qty) => assert(direct(ok) == qty) }
+  }
+
+  test("mm content dedup groups exactly the byte-identical payloads") {
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expectedKeeper = texts.groupBy(_._2).toSeq
+      .flatMap { case (_, ds) =>
+        val keep = ds.map(_._1).min
+        ds.map { case (id, _) => id -> keep }
+      }.toMap
+    val got = graft.operators.Multimodal.contentDedup(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expectedKeeper)
+  }
+
   test("anomaly flags are exactly the brute-force z-test outliers") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value")).collect()
