@@ -55,6 +55,7 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => Analytics.eventsFunnel(s, d)),
     "events_retention" -> ((s, d) => Analytics.eventsRetention(s, d)),
     "events_anomaly" -> ((s, d) => Analytics.eventsAnomaly(s, d)),
+    "events_quantiles" -> ((s, d) => Analytics.eventsQuantiles(s, d)),
     // --- text analysis (training-data pipeline) ---
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_tokens_bpe" -> ((s, d) => TextAnalysis.tokensBpe(s, d)),
@@ -542,6 +543,16 @@ object SparkEntry {
         |FROM a JOIN c USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // exact rank-interpolated percentiles: Spark `percentile` and DuckDB
+    // `quantile_cont` share the (1-g)·lo + g·hi definition
+    "events_quantiles" ->
+      """SELECT event_type,
+        |  FLOOR(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000.0 AS p50,
+        |  FLOOR(quantile_cont(value, 0.95) * 10000 + 0.5) / 10000.0 AS p95,
+        |  FLOOR(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000.0 AS p99
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // the z-score test replayed EXACTLY: cents quantization + the
     // squared-both-sides integer comparison, HUGEINT headroom
     "events_anomaly" ->

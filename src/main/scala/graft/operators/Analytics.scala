@@ -393,6 +393,23 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Per-type latency-style percentiles (p50/p95/p99) via Spark's EXACT
+    * `percentile` aggregate — rank-based linear interpolation, the same
+    * definition as DuckDB's `quantile_cont`, so the 4dp values replay.
+    * Exact percentile sorts per group; the SLA contract here is exact
+    * numbers over full history — callers wanting sketch-sized state at
+    * stream scale compose `approx_percentile` instead (same plan shape,
+    * mergeable state, no oracle). */
+  def eventsQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("qs"))
+      .select(col("event_type"),
+        TextAnalysis.round4(col("qs")(0)).as("p50"),
+        TextAnalysis.round4(col("qs")(1)).as("p95"),
+        TextAnalysis.round4(col("qs")(2)).as("p99"))
+      .orderBy(col("event_type"))
+
   def eventsPropsJson(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .withColumn("k",

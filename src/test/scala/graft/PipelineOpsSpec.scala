@@ -95,6 +95,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expectedKeeper)
   }
 
+  test("exact percentiles match the rank-interpolation definition") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def pct(sorted: Array[Double], p: Double): Double = {
+      val rank = p * (sorted.length - 1)
+      val lo = rank.toInt
+      val g = rank - lo
+      val raw =
+        if (lo + 1 < sorted.length) (1 - g) * sorted(lo) + g * sorted(lo + 1)
+        else sorted(lo)
+      math.floor(raw * 10000 + 0.5) / 10000.0
+    }
+    val expected = ev.groupBy(_._1).map { case (t, vs) =>
+      val s = vs.map(_._2).sorted
+      t -> (pct(s, 0.5), pct(s, 0.95), pct(s, 0.99))
+    }
+    val got = Analytics.eventsQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got == expected)
+  }
+
   test("anomaly flags are exactly the brute-force z-test outliers") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value")).collect()
