@@ -120,6 +120,55 @@ object SparkEntry {
     "pipeline_clean" -> ((s, d) => CleanCorpus.clean(s, d)),
   )
 
+  /** Deterministic output order for the driver's hash compare — applied by
+    * [[Verify]] at dump time on the (small) verify SF, NOT inside the
+    * operators. A corpus-sized operator output must not end in a global
+    * sort: at 100 TB that is a full range-partition exchange + sort per
+    * query that no downstream consumer needs (VERDICT r5 finding 2), so
+    * the operators return unordered frames and the ordering contract with
+    * each oracle's final ORDER BY lives here. Queries absent from this map
+    * order themselves semantically (ranked top-k via TakeOrdered, packed
+    * ordering) or are single-row aggregates. */
+  val hashOrder: Map[String, Seq[String]] = Map(
+    "topk_per_group" -> Seq("o_custkey", "rank"),
+    "events_window" -> Seq("window_start", "event_type"),
+    "events_sessionize" -> Seq("user_id", "session_id"),
+    "events_session_window" -> Seq("user_id", "session_start"),
+    "events_rolling" -> Seq("user_id", "ts_us", "event_id"),
+    "events_asof" -> Seq("click_id"),
+    "events_anomaly" -> Seq("event_id"),
+    "text_tokens" -> Seq("doc_id"),
+    "text_tokens_bpe" -> Seq("doc_id"),
+    "text_quality" -> Seq("doc_id"),
+    "text_langid" -> Seq("doc_id"),
+    "text_fingerprint" -> Seq("doc_id"),
+    "text_featurize" -> Seq("doc_id", "dim"),
+    "text_ppl" -> Seq("doc_id"),
+    "doc_chunk" -> Seq("doc_id", "chunk_id"),
+    "corpus_sample" -> Seq("doc_id"),
+    "corpus_pack" -> Seq("lang", "bin"),
+    "corpus_decontaminate" -> Seq("doc_id"),
+    "corpus_mix" -> Seq("doc_id"),
+    "corpus_shuffle" -> Seq("shard", "pos"),
+    "dedup_exact" -> Seq("keep_id"),
+    "dedup_ngram_jaccard" -> Seq("doc_a", "doc_b"),
+    "dedup_minhash_lsh" -> Seq("doc_a", "doc_b"),
+    "dedup_simhash" -> Seq("doc_a", "doc_b"),
+    "dedup_clusters" -> Seq("doc_id"),
+    "dedup_keep_best" -> Seq("doc_id"),
+    "dedup_embedding" -> Seq("id_a", "id_b"),
+    "dedup_embedding_lsh" -> Seq("id_a", "id_b"),
+    "knn_graph" -> Seq("src", "rank"),
+    "ivf_build" -> Seq("vec_id"),
+    "pq_build" -> Seq("vec_id", "sub"),
+    "vec_normalize" -> Seq("vec_id"),
+    "mm_meta" -> Seq("doc_id"),
+    "mm_dedup" -> Seq("doc_id"),
+    "mm_frames" -> Seq("doc_id", "frame_idx"),
+    "mm_resize" -> Seq("doc_id"),
+    "pipeline_clean" -> Seq("doc_id"),
+  )
+
   /** Shared CTE chain of the text_search oracle (hash → weights → exact
     * integer dot), reused by the rag_text composition. */
   private val textSearchCtes: String =
@@ -530,8 +579,8 @@ object SparkEntry {
         |  CAST(sum(s1) AS BIGINT) AS n_view,
         |  CAST(sum(s2) AS BIGINT) AS n_click_after_view,
         |  CAST(sum(s3) AS BIGINT) AS n_purchase_after_click,
-        |  FLOOR(CAST(sum(s2) AS BIGINT) / CAST(CAST(sum(s1) AS BIGINT) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS view_to_click,
-        |  FLOOR(CAST(sum(s3) AS BIGINT) / CAST(CAST(sum(s2) AS BIGINT) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS click_to_purchase
+        |  FLOOR(CAST(sum(s2) AS BIGINT) / CAST(NULLIF(CAST(sum(s1) AS BIGINT), 0) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS view_to_click,
+        |  FLOOR(CAST(sum(s3) AS BIGINT) / CAST(NULLIF(CAST(sum(s2) AS BIGINT), 0) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS click_to_purchase
         |FROM u""".stripMargin,
     "events_retention" ->
       """WITH a AS (

@@ -12,9 +12,17 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // the determinism sort the driver's hash compare needs — a verify-
+        // time artifact, deliberately NOT part of the operators (they
+        // return unordered frames; see SparkEntry.hashOrder)
+        val ordered = SparkEntry.hashOrder.get(name)
+          .map(cols => df.orderBy(cols.map(df.col): _*))
+          .getOrElse(df)
+        ordered.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -152,7 +152,6 @@ object Analytics {
         col("p.id").as("o_orderkey"),
         (-col("p.ord")).as("o_totalprice"),
         (col("pos") + 1).cast("int").as("rank"))
-      .orderBy(col("o_custkey"), col("rank"))
   }
 
   /** Window-rank formulation of the same query (reference semantics for
@@ -164,7 +163,6 @@ object Analytics {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .orderBy(col("o_custkey"), col("rank"))
   }
 
   /** Event-time tumbling-window aggregation (1 hour) per event_type.
@@ -182,7 +180,6 @@ object Analytics {
       .select(
         unix_timestamp(col("w.start")).as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
-      .orderBy(col("window_start"), col("event_type"))
 
   /** Sessionization via Spark's built-in `session_window` — the idiomatic
     * formulation (one shuffle, sessions merged by the operator itself; also
@@ -200,7 +197,6 @@ object Analytics {
         col("user_id"),
         unix_micros(col("w.start")).as("session_start"),
         col("n_events"), col("sum_value"))
-      .orderBy(col("user_id"), col("session_start"))
 
   /** Sessionization: 30-minute-gap sessions per user, batch formulation
     * (lag + cumulative sum over a per-user window → one shuffle on user_id). */
@@ -226,7 +222,6 @@ object Analytics {
         count(lit(1)).as("n_events"),
         unix_micros(min(col("ts"))).as("session_start"),
         round(sum(col("value")), 2).as("sum_value"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** Rolling per-user window frame: moving sum/count of the last 5 events
@@ -246,7 +241,6 @@ object Analytics {
         unix_micros(col("ts")).as("ts_us"),
         round(sum(col("value")).over(w), 2).as("roll_sum"),
         count(lit(1)).over(w).as("n_window"))
-      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
   /** Semi-structured props: filter + aggregate on a JSON attribute of the
@@ -292,7 +286,6 @@ object Analytics {
         col("p_event_id"), col("p_ts_us"),
         round(col("p_value0"), 2).as("p_value"),
         (unix_micros(col("ts")) - col("p_ts_us")).as("gap_us"))
-      .orderBy(col("click_id"))
   }
 
   /** Ordered funnel conversion over the event stream: view → click →
@@ -329,13 +322,20 @@ object Analytics {
       max(col("is_view")).as("s1"),
       max(col("qual_click")).as("s2"),
       max(col("qual_purchase")).as("s3"))
+    // rates guard the empty step: Spark's x/0 yields NULL where DuckDB's
+    // IEEE division yields inf/nan — the explicit when(>0) (NULLIF in the
+    // oracle) makes both engines agree on a degenerate empty-funnel corpus
     perUser.agg(
       count(lit(1)).as("n_users"),
       sum(col("s1")).as("n_view"),
       sum(col("s2")).as("n_click_after_view"),
       sum(col("s3")).as("n_purchase_after_click"),
-      TextAnalysis.round4(sum(col("s2")) / sum(col("s1"))).as("view_to_click"),
-      TextAnalysis.round4(sum(col("s3")) / sum(col("s2"))).as("click_to_purchase"))
+      when(sum(col("s1")) > 0,
+        TextAnalysis.round4(sum(col("s2")) / sum(col("s1"))))
+        .as("view_to_click"),
+      when(sum(col("s2")) > 0,
+        TextAnalysis.round4(sum(col("s3")) / sum(col("s2"))))
+        .as("click_to_purchase"))
   }
 
   /** Weekly cohort retention: cohort = a user's first active week (weeks
@@ -378,11 +378,13 @@ object Analytics {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("event_type"), col("value"),
         expr("cast(floor(value * 100 + 0.5) as long)").as("vc"))
-    // every product forms IN decimal(38,0) — a Long product like vc·vc
-    // would wrap silently (Spark non-ANSI) long before any outer cast
-    // could widen it
+    // every product AND every sum forms IN decimal(38,0) — a Long product
+    // like vc·vc would wrap silently (Spark non-ANSI) long before any
+    // outer cast could widen it, and a plain Long sum(vc) wraps the same
+    // way at extreme row counts (the oracle accumulates both in HUGEINT)
     val stats = ev.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"), sum(col("vc")).as("sv"),
+      count(lit(1)).as("n"),
+      sum(expr("cast(vc as decimal(38,0))")).as("sv"),
       sum(expr("cast(vc as decimal(38,0)) * vc")).as("svv"))
     ev.join(broadcast(stats), "event_type")
       .where(expr(
@@ -390,16 +392,21 @@ object Analytics {
            | > ${z * z} * (cast(n as decimal(38,0)) * svv
            |               - cast(sv as decimal(38,0)) * sv)""".stripMargin))
       .select(col("event_id"), col("event_type"), col("value"))
-      .orderBy(col("event_id"))
   }
 
   /** Per-type latency-style percentiles (p50/p95/p99) via Spark's EXACT
     * `percentile` aggregate — rank-based linear interpolation, the same
-    * definition as DuckDB's `quantile_cont`, so the 4dp values replay.
-    * Exact percentile sorts per group; the SLA contract here is exact
-    * numbers over full history — callers wanting sketch-sized state at
-    * stream scale compose `approx_percentile` instead (same plan shape,
-    * mergeable state, no oracle). */
+    * DEFINITION as DuckDB's `quantile_cont`. The two engines compute the
+    * interpolation in algebraically-equal-but-not-bit-identical IEEE
+    * forms (lo+(hi-lo)·g vs the fused form), so a raw value landing
+    * exactly on a 1e-4 rounding boundary could still diverge; `value`
+    * carries 2-dp decimals here, which keeps the interpolation inputs
+    * exact on both engines and off the boundary in practice (residual
+    * risk documented, not eliminated). Exact percentile sorts per group;
+    * the SLA contract here is exact numbers over full history — callers
+    * wanting sketch-sized state at stream scale compose
+    * `approx_percentile` instead (same plan shape, mergeable state, no
+    * oracle). */
   def eventsQuantiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))

@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * Shape at scale: quality + langid are computed in ONE codegen'd scan
   * (not joins of the individual queries — the per-doc stats share the
   * tokenization); the only shuffles are the shingle bucketing inherited
-  * from the jaccard dedup and a broadcast anti-join against the (tiny)
-  * duplicate-id list. */
+  * from the jaccard dedup and the anti-join against the duplicate-id
+  * list. That join is deliberately UNHINTED: the duplicate-id list is
+  * sized by corpus duplication — tiny on a diverse corpus (AQE broadcasts
+  * it from its measured size), potentially corpus-scale on the
+  * duplicate-heavy corpora cleaning targets, where a forced broadcast
+  * would OOM the driver. */
 object CleanCorpus {
 
   def clean(
@@ -45,8 +49,7 @@ object CleanCorpus {
 
     scored
       .where(col("quality") >= minQuality && col("c_en") >= col("c_other"))
-      .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+      .join(dupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("quality"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -77,7 +77,6 @@ object CorpusOps {
         col("shard") === col("o_shard") && col("bucket") === col("o_bucket"))
       .select(col("doc_id"), col("shard"),
         (col("off") + row_number().over(local) - 1).as("pos"))
-      .orderBy(col("shard"), col("pos"))
   }
 
   /** Corpus health: one map-side-partial aggregate over the documents
@@ -115,7 +114,6 @@ object CorpusOps {
       .where(col("bucket") <
         when(col("lang") === "en", enPct).otherwise(otherPct))
       .select(col("doc_id"), col("lang"), col("bucket").cast("int").as("bucket"))
-      .orderBy(col("doc_id"))
 
   /** Sequence packing: assign documents (in deterministic doc_id order,
     * per language) to training bins of `budget` tokens by cumulative
@@ -182,7 +180,6 @@ object CorpusOps {
         sum(col("n_tokens")).as("bin_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-      .orderBy(col("lang"), col("bin"))
   }
 
   /** Temperature-scaled mixture sampling (the multilingual-pretraining
@@ -220,6 +217,5 @@ object CorpusOps {
     docs.join(broadcast(model), "lang")
       .where(col("bucket") < col("threshold"))
       .select(col("doc_id"), col("lang"), col("bucket"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -71,7 +71,7 @@ object Multimodal {
   /** `mm_meta` query: decoded metadata, oracle-checkable because the stub
     * is a pure function of the payload bytes. */
   def meta(spark: SparkSession, sfDir: String): DataFrame =
-    decodeMeta(spark, sfDir).toDF().orderBy("doc_id")
+    decodeMeta(spark, sfDir).toDF()
 
   /** Exact content-hash dedup of the media assets — the standard FIRST
     * pass of a multimodal pipeline (bitwise-identical images/clips
@@ -89,7 +89,6 @@ object Multimodal {
     hashed.join(groups, "content_md5")
       .select(col("doc_id"), col("content_md5"), col("keep_id"),
         col("n_copies"), (col("doc_id") === col("keep_id")).as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** One sampled video frame: index + a (stub) extracted scalar feature. */
@@ -140,7 +139,6 @@ object Multimodal {
         it.grouped(DecodeBatchSize).flatMap(g => stubResizeBatch(g.toArray, box))
       }
       .toDF()
-      .orderBy("doc_id")
   }
 
   /** `mm_frames` query: frame sampling as the second batched decode stage —
@@ -154,6 +152,5 @@ object Multimodal {
         it.grouped(DecodeBatchSize).flatMap(g => stubFrameBatch(g.toArray, k))
       }
       .toDF()
-      .orderBy("doc_id", "frame_idx")
   }
 }

@@ -25,7 +25,6 @@ object TextAnalysis {
       size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_tokens"),
       size(array_distinct(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")))
         .as("n_uniq_tokens"))
-      .orderBy("doc_id")
 
   /** GPT-2-style pre-tokenization pattern, restricted to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB): no
@@ -46,7 +45,6 @@ object TextAnalysis {
       size(array_distinct(
         regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0))))
         .as("n_uniq_bpe_tokens"))
-      .orderBy("doc_id")
 
   private val stopwords =
     Seq("the", "a", "and", "of", "to", "in", "is", "it")
@@ -82,7 +80,6 @@ object TextAnalysis {
           lit(0.2) * least(lit(1.0),
             (length(col("text")) / col("n_tokens")) / lit(8.0)))
           .as("quality"))
-      .orderBy("doc_id")
 
   /** Stopword-marker language ID. Scores each candidate language by marker
     * hits and takes the argmax (fixed en>de>fr>es>zh tie order). Determinism,
@@ -113,7 +110,6 @@ object TextAnalysis {
     }
     scored.select(
       col("doc_id") +: langs.map(l => col(s"c_$l")) :+ pred.as("pred_lang"): _*)
-      .orderBy("doc_id")
   }
 
   /** 61-bit polynomial rolling-hash fingerprint per document (native
@@ -122,7 +118,6 @@ object TextAnalysis {
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
       TextFunctions.polyFingerprint(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
 
   /** Hashing-trick text featurizer — the deterministic stand-in for the
     * reference's query-embedding stage (app.py:118 embeds the query text
@@ -169,7 +164,6 @@ object TextAnalysis {
         round4(when(col("norm2") > 0,
           col("s.w") / sqrt(col("norm2").cast("double"))).otherwise(lit(0.0)))
           .as("unit_weight"))
-      .orderBy("doc_id", "dim")
 
   /** End-to-end text retrieval inside the pipeline: featurize the query
     * text ([[featurize]]'s hashing-trick vector, stood in by document
@@ -277,31 +271,39 @@ object TextAnalysis {
     * the same quantization).
     *
     * Scale shape: the unigram table is one token-keyed aggregate
-    * (map-side partial, vocab-sized result — a tokenizer-input vocab is
-    * bounded by design); the scoring join broadcasts it; the per-doc
-    * rollup reuses the doc-keyed explode. */
+    * (map-side partial, vocab-sized result); `n_total` is a SEPARATE
+    * 1-row map-only aggregate (`sum(size(tokens))` — no explode, no
+    * shuffle) cross-joined back, the same pattern as [[CorpusOps.mix]] —
+    * not a single-partition window over the vocab, which would serialize
+    * (and buffer) a web-scale heavy-tail vocabulary through one task.
+    * The scoring join is UNHINTED: a tokenizer-input vocab is small and
+    * AQE broadcasts it from its measured size, but a raw unigram table
+    * over web text is 10⁸+ types — GBs — where a forced broadcast hint
+    * would OOM the driver; a shuffle-hash join on `token` is the correct
+    * fallback shape there. */
   def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
           .as("token"))
-    // n_total folds from the vocab-sized counts (a single-partition
-    // window over ~|vocab| rows) — NOT a second tokenization pass over
-    // the corpus
+    // one extra map-only corpus pass (counts token-array sizes without
+    // exploding) — cheaper than either re-aggregating the vocab branch
+    // twice or the single-task vocab window it replaces
+    val nTotal = Tables.documents(spark, sfDir)
+      .select(size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long").as("nt"))
+      .agg(sum(col("nt")).as("n_total"))
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .withColumn("n_total",
-        sum(col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(nTotal)) // 1-row aggregate — bounded by design
       .select(col("token"),
         floor(log(col("n") / col("n_total")) * 10000 + lit(0.5))
           .cast("long").as("logq"))
-    toks.join(broadcast(vocab), "token")
+    toks.join(vocab, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("logq")).as("sum_logq"))
       .select(col("doc_id"), col("n_tokens"), col("sum_logq"),
         round4(col("sum_logq") / (col("n_tokens") * lit(10000.0)))
           .as("avg_logprob"))
-      .orderBy(col("doc_id"))
   }
 
   /** RAG ingestion chunking — the document-splitting stage that feeds the
@@ -325,6 +327,11 @@ object TextAnalysis {
       sfDir: String,
       size: Int = 120,
       overlap: Int = 30): DataFrame = {
+    // overlap >= size makes step <= 0: the n_chunks division silently
+    // degrades to null / a single truncated chunk instead of failing —
+    // reject the parameters up front like bm25 does
+    require(overlap >= 0 && overlap < size,
+      s"chunk overlap must be in [0, size): overlap=$overlap size=$size")
     val step = size - overlap
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"),
@@ -340,7 +347,6 @@ object TextAnalysis {
         expr(s"substring(text, cast(chunk_id * $step + 1 as int), $size)")
           .as("chunk"))
       .withColumn("c_len", length(col("chunk")).cast("long"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   /** BM25 keyword retrieval over `documents` — the lexical half of the

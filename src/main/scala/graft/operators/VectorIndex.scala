@@ -129,7 +129,6 @@ object VectorIndex {
       .select(col("vec_id"), col("label"),
         col("nc.centroid_id").as("centroid_id"),
         round(col("nc.dist"), 4).as("dist"))
-      .orderBy(col("vec_id"))
   }
 
   /** IVF probe: nearest `nprobe` centroids to the query (computed on the
@@ -1181,7 +1180,6 @@ object VectorIndex {
     val cb = trainPqCodebooks(spark, sfDir)
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), posexplode(pqCodesCol(cb)).as(Seq("sub", "code")))
-      .orderBy(col("vec_id"), col("sub"))
   }
 
   /** Two-phase PQ search (asymmetric distance computation): the query

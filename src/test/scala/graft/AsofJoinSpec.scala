@@ -12,7 +12,9 @@ import org.apache.spark.sql.expressions.Window
 class AsofJoinSpec extends SparkSpec {
 
   test("window formulation matches the explicit argmax join") {
-    val out = Analytics.eventsAsof(spark, sfDir)
+    // operator output is unordered by design (hash-time sort lives in
+    // SparkEntry.hashOrder); pin the compare order here
+    val out = Analytics.eventsAsof(spark, sfDir).orderBy(col("click_id"))
 
     val ev = Tables.events(spark, sfDir)
     val clicks = ev.where(col("event_type") === "click")

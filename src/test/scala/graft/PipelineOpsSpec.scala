@@ -61,7 +61,7 @@ class PipelineOpsSpec extends SparkSpec {
     }.sortBy(_._1)
     val got = TextAnalysis.unigramLogProb(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .toSeq
+      .toSeq.sortBy(_._1)
     assert(got == expected)
   }
 

@@ -165,7 +165,7 @@ class TextDedupSpec extends SparkSpec {
     val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
       .map(d => (d, find(d)))
     val got = Dedup.clusterAssign(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     assert(got == expected.toSeq,
       s"cluster mismatch:\n got $got\n exp ${expected.toSeq}")
     // transitivity actually exercised: some cluster must have > 2 members
