@@ -279,21 +279,40 @@ object SparkEntry {
        |LIMIT 10""".stripMargin
   }
 
+  /** The deterministic training-sample CTEs shared by the IVF and PQ
+    * model replays: keepMod from the corpus count (identical integer form
+    * to `VectorIndex.sampleKeepMod`), then the multiplicative-hash keep
+    * predicate in HUGEINT — exact, like the Spark side's decimal(38)
+    * arithmetic. At verify SF the corpus is under the 65536 cap, keepMod
+    * = 1, and the sample is the whole table — the predicate is replayed
+    * regardless so the contract stays pinned. `eqs` is the sampled slice
+    * of the quantized coordinates the training iterations read; the final
+    * assignment (and query-side lookups) keep reading the full `eq`. */
+  private val sampleCtes: String =
+    """km AS (
+      |  SELECT greatest(1, (count(*) + 65535) // 65536) AS m FROM embeddings),
+      |samp AS (
+      |  SELECT vec_id FROM embeddings, km
+      |  WHERE ((CAST(vec_id AS HUGEINT) * 1315423911)
+      |         % 2305843009213693951) % m = 0),
+      |eqs AS (SELECT e.* FROM eq e JOIN samp USING (vec_id))""".stripMargin
+
   /** Shared CTE chain for the IVF oracles: replays the FULL deterministic
-    * k-means — quantization to the 2^20 fixed-point grid, seed selection
-    * (k smallest vec_ids), five Lloyd iterations of integer-distance
-    * assignment + half-up integer-mean update — then the final assignment
-    * every store row carries. Works because every arithmetic step on the
-    * Spark side is integer (order-independent sums, exact argmin with the
-    * tie to the smaller centroid id), so trained model state is no longer
-    * engine-dependent: DuckDB reaches bit-identical centroids. 64 = the
-    * embedding dim of the test tables; 16 = K; 5 = Iters
-    * (VectorIndex.scala). */
+    * k-means — quantization to the 2^20 fixed-point grid, the bounded
+    * vec_id-hash training sample, seed selection (k smallest sampled
+    * vec_ids), five Lloyd iterations of integer-distance assignment +
+    * half-up integer-mean update — then the final assignment every store
+    * row carries (over ALL vectors, not the sample). Works because every
+    * arithmetic step on the Spark side is integer (order-independent
+    * sums, exact argmin with the tie to the smaller centroid id), so
+    * trained model state is no longer engine-dependent: DuckDB reaches
+    * bit-identical centroids. 64 = the embedding dim of the test tables;
+    * 16 = K; 5 = Iters (VectorIndex.scala). */
   private def ivfModelCtes: String = {
     val iters = (1 to 5).map { t =>
       s"""d$t AS (
          |  SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS dd
-         |  FROM eq e JOIN c${t - 1} c USING (dim) GROUP BY 1, 2),
+         |  FROM eqs e JOIN c${t - 1} c USING (dim) GROUP BY 1, 2),
          |a$t AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
@@ -302,7 +321,7 @@ object SparkEntry {
          |u$t AS (
          |  SELECT a.cid, e.dim,
          |    CAST(floor((2.0 * sum(e.q) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cq
-         |  FROM a$t a JOIN eq e USING (vec_id) GROUP BY 1, 2),
+         |  FROM a$t a JOIN eqs e USING (vec_id) GROUP BY 1, 2),
          |c$t AS (
          |  SELECT c.cid, c.dim, coalesce(u.cq, c.cq) AS cq
          |  FROM c${t - 1} c LEFT JOIN u$t u ON c.cid = u.cid AND c.dim = u.dim)"""
@@ -313,9 +332,10 @@ object SparkEntry {
        |    CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1048576.0 + 0.5)
        |      AS BIGINT) AS q
        |  FROM embeddings e, range(64) r(i)),
+       |$sampleCtes,
        |seeds AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
-       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |  FROM (SELECT vec_id FROM samp ORDER BY vec_id LIMIT 16)),
        |c0 AS (SELECT s.cid, e.dim, e.q AS cq FROM seeds s JOIN eq e USING (vec_id)),
        |$iters,
        |fd AS (
@@ -365,9 +385,10 @@ object SparkEntry {
        |    CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1048576.0 + 0.5)
        |      AS BIGINT) AS q
        |  FROM embeddings e, range(64) r(i)),
+       |$sampleCtes,
        |seeds AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
-       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |  FROM (SELECT vec_id FROM samp ORDER BY vec_id LIMIT 16)),
        |c0 AS (SELECT s.cid, e.dim, e.q AS cq FROM seeds s JOIN eq e USING (vec_id)),
        |${pqIterCtes("p")}""".stripMargin
 
@@ -381,7 +402,7 @@ object SparkEntry {
       s"""${prefix}d$t AS (
          |  SELECT e.vec_id, e.dim // 8 AS sub, c.cid,
          |    sum((e.q - c.cq) * (e.q - c.cq)) AS dd
-         |  FROM eq e JOIN $prev c USING (dim) GROUP BY 1, 2, 3),
+         |  FROM eqs e JOIN $prev c USING (dim) GROUP BY 1, 2, 3),
          |${prefix}a$t AS (
          |  SELECT vec_id, sub, cid FROM (
          |    SELECT vec_id, sub, cid,
@@ -390,7 +411,7 @@ object SparkEntry {
          |${prefix}u$t AS (
          |  SELECT a.cid, e.dim,
          |    CAST(floor((2.0 * sum(e.q) + count(*)) / (2.0 * count(*))) AS BIGINT) AS cq
-         |  FROM ${prefix}a$t a JOIN eq e ON e.vec_id = a.vec_id AND e.dim // 8 = a.sub
+         |  FROM ${prefix}a$t a JOIN eqs e ON e.vec_id = a.vec_id AND e.dim // 8 = a.sub
          |  GROUP BY 1, 2),
          |${prefix}c$t AS (
          |  SELECT c.cid, c.dim, coalesce(u.cq, c.cq) AS cq

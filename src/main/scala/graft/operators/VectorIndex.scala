@@ -31,6 +31,38 @@ object VectorIndex {
   final val Iters = 5
   final val NPlanes = 16
 
+  /** Training-sample cap for the Lloyd/PQ trainers: centroid quality does
+    * not need every row, and caching a 100 TB corpus for 5 iterations is
+    * petabyte-class cache pressure — so training runs on a deterministic
+    * vec_id-hash slice of at most ~MaxTrain rows (~16 MB at dim 64). At
+    * every test SF the corpus is under the cap, so the sample is the whole
+    * table and the trained model is unchanged. */
+  final val MaxTrain = 65536
+
+  /** The sample modulus: keep a row iff hash(vec_id) % keepMod == 0. */
+  private[graft] def sampleKeepMod(n: Long, maxTrain: Int): Long =
+    math.max(1L, (n + maxTrain - 1) / maxTrain)
+
+  /** The keep predicate — a multiplicative hash mod the Mersenne prime
+    * 2^61-1, then mod keepMod, in EXACT decimal(38) arithmetic so the
+    * oracle replays it bit for bit in HUGEINT (ids are non-negative, so
+    * pmod ≡ %). Hashing (not `vec_id % keepMod` directly) keeps strided
+    * id spaces — e.g. only even ids surviving an upstream dedup — from
+    * biasing the sample, the same guard simhash's sub-bucketing uses. */
+  private[graft] def samplePredicate(keepMod: Long): Column =
+    pmod(
+      pmod(col("vec_id").cast("decimal(38,0)") * lit(1315423911L),
+        lit(2305843009213693951L)),
+      lit(keepMod)) === 0
+
+  /** Deterministic bounded training sample of any (vec_id, embedding)
+    * frame; identity when the frame is under the cap. One count job (for
+    * parquet sources a metadata read) sizes the modulus. */
+  private def trainingSample(emb: DataFrame, maxTrain: Int): DataFrame = {
+    val keepMod = sampleKeepMod(emb.count(), maxTrain)
+    if (keepMod == 1L) emb else emb.where(samplePredicate(keepMod))
+  }
+
   // trained centroids are model state: cache per store so build+search in
   // one session train once
   private val centroidCache =
@@ -56,9 +88,17 @@ object VectorIndex {
     * (exact: |cq| < 2^24). Every run of this trainer — any cluster size,
     * any partitioning, any engine that replays the same integer steps —
     * produces bit-identical centroids, which is what upgrades the whole
-    * IVF query family from rows-only checks to hash-matching SQL oracles. */
-  private[graft] def trainLloyd(embIn: DataFrame): Array[Array[Float]] = {
-    val emb = embIn.select(col("vec_id"), col("embedding"))
+    * IVF query family from rows-only checks to hash-matching SQL oracles.
+    *
+    * Training input is the deterministic [[trainingSample]] slice (seeds
+    * included — the K smallest SAMPLED vec_ids), so the cached working set
+    * is bounded by [[MaxTrain]] rows regardless of corpus size; the
+    * oracle replays the sample predicate, and the fixed-point determinism
+    * story is unchanged because the sample itself is engine-independent. */
+  private[graft] def trainLloyd(
+      embIn: DataFrame, maxTrain: Int = MaxTrain): Array[Array[Float]] = {
+    val emb = trainingSample(
+      embIn.select(col("vec_id"), col("embedding")), maxTrain)
     var centroids: Array[Array[Float]] = emb
       .orderBy(col("vec_id"))
       .limit(K)
@@ -1097,8 +1137,11 @@ object VectorIndex {
     * (sub, code, dim) partial sums: ≤ PqM·K·PqSubDim = 1024 rows to the
     * driver. Per-iteration cost is identical to the single-space IVF
     * trainer despite the 8 codebooks. */
-  private[graft] def trainPq(embIn: DataFrame): Array[Array[Array[Float]]] = {
-    val emb = embIn.select(col("vec_id"), col("embedding"))
+  private[graft] def trainPq(
+      embIn: DataFrame,
+      maxTrain: Int = MaxTrain): Array[Array[Array[Float]]] = {
+    val emb = trainingSample(
+      embIn.select(col("vec_id"), col("embedding")), maxTrain)
     emb.cache()
     try {
       // seeds: the K smallest vec_ids, sliced per subspace (same seed rule

@@ -27,6 +27,29 @@ class LloydDeterminismSpec extends SparkSpec {
     assert(flat(base) == flat(single))
   }
 
+  test("sampled training equals training on the explicit sample slice") {
+    // force the cap below the corpus size so the vec_id-hash sample
+    // actually engages (at the default MaxTrain every test SF is under
+    // the cap and the sample is the identity)
+    val cap = 100
+    val n = emb.count()
+    val keepMod = VectorIndex.sampleKeepMod(n, cap)
+    assert(keepMod > 1, s"cap $cap must engage sampling on $n rows")
+    val explicit = emb.where(VectorIndex.samplePredicate(keepMod))
+    val nSample = explicit.count()
+    assert(nSample > 0 && nSample < n, "sample must be a strict subset")
+    assert(nSample <= 2L * cap, s"hash slice far off target: $nSample vs $cap")
+    val sampled = VectorIndex.trainLloyd(emb, maxTrain = cap)
+    val direct = VectorIndex.trainLloyd(explicit, maxTrain = Int.MaxValue)
+    assert(flat(sampled) == flat(direct),
+      "sampled training must be exactly training-on-the-sample")
+    // and the sample path keeps the partitioning-invariance property
+    val shuffled = VectorIndex.trainLloyd(
+      emb.repartition(7, col("vec_id")).sortWithinPartitions(desc("vec_id")),
+      maxTrain = cap)
+    assert(flat(sampled) == flat(shuffled))
+  }
+
   test("quantization is the exact half-up grid on representative values") {
     // float→double is exact, *2^20 shifts the exponent, +0.5/floor is the
     // explicit half-up form: spot-check the corners a binary-vs-decimal
