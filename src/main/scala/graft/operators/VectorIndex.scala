@@ -235,6 +235,33 @@ object VectorIndex {
   private[graft] def isSingleGen(spark: SparkSession, path: String): Boolean =
     fs(spark).exists(singleGenPath(path))
 
+  // ---- append delta (LSM shape) --------------------------------------
+  // Appends and tombstones land in ONE unpartitioned side directory —
+  // one file per micro-batch — instead of fanning out into the
+  // partitioned base layout. A 500-row append into the LSH store's 256
+  // bucket directories costs ~256 two-row parquet files plus the listing
+  // and commit over every directory (measured 3× the IVF append,
+  // BENCH_lifecycle_r5); the delta makes the append O(batch) regardless
+  // of how many partitions the layout has. Rows carry the SAME schema as
+  // the base (including the assigned partition column as a data column),
+  // so merge-on-read is a unionByName + the existing generation
+  // resolution; compaction folds the delta into the partitioned layout
+  // and deletes it, restoring pure partition-pruned reads. The delta is
+  // small by contract (appends between compactions), so scanning its few
+  // files per probe costs less than the directory fan-out it replaces.
+  private def deltaPath(path: String) = s"$path/vectors_delta"
+  private def hasDelta(spark: SparkSession, path: String): Boolean =
+    fs(spark).exists(new org.apache.hadoop.fs.Path(deltaPath(path)))
+
+  /** The store's full logical content: partitioned base + append delta. */
+  private def storeVectors(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/vectors")
+    if (hasDelta(spark, path))
+      base.unionByName(spark.read.parquet(deltaPath(path)),
+        allowMissingColumns = true)
+    else base
+  }
+
   // ---- layout-parameterized store machinery --------------------------
   // One CRUD implementation, two physical layouts. `partCol` is the
   // partition column of the written store; `modelDir` holds the model
@@ -358,10 +385,10 @@ object VectorIndex {
 
   /** Shared incremental upsert (the reference's `add_texts` growth path):
     * new vectors are assigned by the EXISTING model (no retrain — the
-    * index geometry is model state) and appended into the same partition
-    * layout as generation `gen`; nothing already written moves. Readers
-    * resolve an id to its highest generation; compaction folds
-    * generations back to a read-optimal single-gen layout. */
+    * index geometry is model state) and appended as ONE delta file at
+    * generation `gen`; nothing already written moves. Readers resolve an
+    * id to its highest generation across base + delta; compaction folds
+    * everything back to a read-optimal single-gen partitioned layout. */
   private def appendAt(
       spark: SparkSession, path: String, layout: StoreLayout,
       batch: DataFrame, gen: Long): Unit = {
@@ -376,7 +403,7 @@ object VectorIndex {
     // semi-join down to the batch's ids before aggregating: the store scan
     // reads only (vec_id, partCol) and the shuffle carries matching rows,
     // not the whole store's id map
-    val existing = spark.read.parquet(s"$path/vectors")
+    val existing = storeVectors(spark, path)
       .select(col("vec_id"), col(layout.partCol))
       .join(batch.select(col("vec_id")).distinct(), Seq("vec_id"), "left_semi")
       .groupBy(col("vec_id"))
@@ -401,8 +428,11 @@ object VectorIndex {
     (if (hasPqModel(spark, path))
        appended.withColumn("codes", pqCodesCol(readPqModel(spark, path)))
      else appended)
-      .write.mode("append").partitionBy(layout.partCol)
-      .parquet(s"$path/vectors")
+      // ONE file per micro-batch append, whatever the layout's partition
+      // count (the delta contract above). Appends are micro-batches by
+      // contract — bulk backfill goes through build/compact.
+      .repartition(1)
+      .write.mode("append").parquet(deltaPath(path))
   }
 
   /** Incremental upsert into the IVF store. `batch` must have columns
@@ -418,18 +448,19 @@ object VectorIndex {
 
   /** Shared tombstone delete (the reference store's `delete(ids)`
     * surface): each physical copy of a deleted id gets a `deleted = true`
-    * row appended into ITS OWN partition at generation `gen` —
-    * co-locating the tombstone with every copy is what lets a
-    * partition-pruned read resolve deletions without consulting unprobed
-    * partitions. The target copies are found with a pushed-down
-    * `vec_id IN (...)` scan; nothing is rewritten until compaction. */
+    * row in the append delta at generation `gen`, CARRYING the partition
+    * id of the copy it shadows — a pruned read unions the delta filtered
+    * on the same partition ids, so the tombstone is visible to exactly
+    * the probes that could see the shadowed copy. The target copies are
+    * found with a pushed-down `vec_id IN (...)` scan; nothing is
+    * rewritten until compaction. */
   private def deleteAt(
       spark: SparkSession, path: String, layout: StoreLayout,
       ids: Seq[Long], gen: Long): Unit = {
     // flag cleared before the write commits — same crash-safety order as
     // appendAt
     setSingleGen(spark, path, v = false)
-    val existing = spark.read.parquet(s"$path/vectors")
+    val existing = storeVectors(spark, path)
     val cols = Seq(col("vec_id"), col("label"), col("embedding"),
       col("metadata"), lit(true).as("deleted"), lit(gen).as("gen"),
       col(layout.partCol)) ++
@@ -437,8 +468,9 @@ object VectorIndex {
     existing
       .where(col("vec_id").isin(ids: _*))
       .select(cols: _*)
-      .write.mode("append").partitionBy(layout.partCol)
-      .parquet(s"$path/vectors")
+      // one tombstone file per delete call — same delta discipline
+      .repartition(1)
+      .write.mode("append").parquet(deltaPath(path))
   }
 
   def deleteFromStore(
@@ -454,7 +486,7 @@ object VectorIndex {
     * read-side dedup pays, paid once instead of per query). */
   private def liveRows(
       spark: SparkSession, path: String, layout: StoreLayout): DataFrame =
-    spark.read.parquet(s"$path/vectors")
+    storeVectors(spark, path)
       .groupBy(col("vec_id"))
       .agg(max_by(
         struct(col("label"), col("embedding"), col("metadata"),
@@ -548,6 +580,15 @@ object VectorIndex {
         throw new java.io.IOException(s"store swap: delete $path/$dir failed")
     renameOrFail("vectors", "vectors_old")
     renameOrFail("vectors_compact", "vectors")
+    // the delta was folded into the staged layout (liveRows reads
+    // base + delta), so it is dead once the new layout is live. This
+    // delete only happens HERE, in the single in-process mutator that
+    // knows its snapshot covered the delta — recovery never deletes a
+    // delta, because post-crash writers may have refilled it. A crash
+    // before this delete leaves correct reads (leftover delta rows
+    // resolve to content identical to their folded copies) and the next
+    // compaction folds them away.
+    if (hasDelta(spark, path)) deleteOrFail("vectors_delta")
     if (stagedModel) {
       // model swap only after the matching vectors layout is live — and
       // staged the same way, so recovery can always finish it
@@ -597,6 +638,13 @@ object VectorIndex {
         if (ex(s"${m}_old")) f.delete(P(s"${m}_old"), true)
         modelCache.remove(s"$path/$m")
       }
+      // the delta is deliberately NOT touched: the store is readable the
+      // moment the new `vectors` layout is in place, so a writer may have
+      // appended fresh delta rows between the crash and this recovery —
+      // deleting the delta would destroy those writes. Any PRE-crash
+      // delta rows the staged layout already folded are harmless
+      // leftovers (they resolve to content identical to their folded
+      // gen-0 copies) and the next compaction folds them away.
       f.delete(P("vectors_old"), true)
     } else {
       // compaction never switched the store: discard staging output
@@ -642,8 +690,19 @@ object VectorIndex {
       spark: SparkSession, path: String, layout: StoreLayout,
       parts: Seq[Int], filter: Option[Column],
       asOfGen: Option[Long] = None): DataFrame = {
-    val prunedAll = spark.read.parquet(s"$path/vectors")
+    // base: directory-pruned scan. Delta: the same predicate as a row
+    // filter over the (small-by-contract) delta files — the partition id
+    // rides as a data column there, so a probe sees exactly the delta
+    // rows it would have seen in the fan-out layout.
+    val prunedBase = spark.read.parquet(s"$path/vectors")
       .where(col(layout.partCol).isin(parts: _*))
+    val prunedAll =
+      if (hasDelta(spark, path))
+        prunedBase.unionByName(
+          spark.read.parquet(deltaPath(path))
+            .where(col(layout.partCol).isin(parts: _*)),
+          allowMissingColumns = true)
+      else prunedBase
     // snapshot read: drop every generation newer than the requested one
     // BEFORE resolution — the generational layout already is a full
     // version history until compaction folds it, so time travel is a
@@ -895,8 +954,15 @@ object VectorIndex {
     val adc = adcColumn(cb, qv)
     val centroids = readModel(spark, path, IvfLayout)
     val probes = nearestCentroidIds(centroids, qv, nprobe)
-    val pruned = spark.read.parquet(s"$path/vectors")
+    val prunedBase = spark.read.parquet(s"$path/vectors")
       .where(col("centroid_id").isin(probes: _*))
+    val pruned =
+      if (hasDelta(spark, path))
+        prunedBase.unionByName(
+          spark.read.parquet(deltaPath(path))
+            .where(col("centroid_id").isin(probes: _*)),
+          allowMissingColumns = true)
+      else prunedBase
     // phase 1 over the codes projection only — the embedding column is
     // never read here (spec-pinned via ReadSchema)
     val phase1 =

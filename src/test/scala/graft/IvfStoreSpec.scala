@@ -137,12 +137,15 @@ class IvfStoreSpec extends SparkSpec {
     assert(v1.getInt(1) == 7 && v1.getDouble(3) == 1.0)
     assert(res.map(_.getLong(0)).distinct.length == res.length)
 
-    // physical rows grew by the two appended rows; compaction folds the
-    // updated id back to one copy, all gen 0, with identical search results
-    assert(spark.read.parquet(s"$path/vectors").count() == nBase + 2)
+    // the base layout is untouched by appends — both rows landed in the
+    // append delta (one file per micro-batch); compaction folds them into
+    // the partitioned layout and drops the delta
+    assert(spark.read.parquet(s"$path/vectors").count() == nBase)
+    assert(spark.read.parquet(s"$path/vectors_delta").count() == 2)
     VectorIndex.compactStore(spark, path)
     val after = spark.read.parquet(s"$path/vectors")
     assert(after.count() == nBase + 1)
+    assert(!new java.io.File(s"$path/vectors_delta").exists())
     assert(after.agg(max(col("gen"))).head.getLong(0) == 0L)
     val res2 = VectorIndex.searchStore(spark, path, qv, k = 3, nprobe = 16, noSelf)
       .collect()

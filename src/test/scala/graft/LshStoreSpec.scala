@@ -38,8 +38,9 @@ class LshStoreSpec extends SparkSpec {
     assert(v1.getInt(1) == 7 && v1.getDouble(3) == 1.0)
     assert(res.map(_.getLong(0)).distinct.length == res.length)
 
-    // tombstone delete hides the id; compaction folds to one copy each
-    assert(spark.read.parquet(s"$path/vectors").count() == nBase + 2)
+    // appends land in the delta, not the 256-directory base layout
+    assert(spark.read.parquet(s"$path/vectors").count() == nBase)
+    assert(spark.read.parquet(s"$path/vectors_delta").count() == 2)
     VectorIndex.deleteFromLshStore(spark, path, Seq(newId), gen = 3L)
     val afterDel = VectorIndex.searchLshStore(spark, path, qv, k = 3,
       probeHamming = fullProbe, filter = noSelf)
