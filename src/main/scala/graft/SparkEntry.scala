@@ -35,6 +35,7 @@ object SparkEntry {
     "vec_normalize" -> ((s, d) => KnnSearch.normalizedStore(s, d)),
     "store_stats" -> ((s, d) => KnnSearch.storeStats(s, d)),
     "rag_context" -> ((s, d) => RagContext.context(s, d)),
+    "rag_prompt" -> ((s, d) => RagContext.prompt(s, d)),
     "rag_text" -> ((s, d) => RagContext.contextFromText(s, d)),
     "hybrid_rrf" -> ((s, d) => RagContext.hybridRrf(s, d)),
     "hybrid_rrf_ivf" -> ((s, d) =>
@@ -75,6 +76,7 @@ object SparkEntry {
     "corpus_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "corpus_mix" -> ((s, d) => CorpusOps.mix(s, d)),
     "corpus_vocab" -> ((s, d) => CorpusOps.vocab(s, d)),
+    "corpus_bpe_train" -> ((s, d) => CorpusOps.bpeTrain(s, d)),
     "corpus_shuffle" -> ((s, d) => CorpusOps.shuffleAssign(s, d)),
     // --- deduplication (training-data pipeline) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -453,6 +455,46 @@ object SparkEntry {
        |  WHERE f.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0 $extraFilter)
        |$tail""".stripMargin
 
+  /** Oracle for corpus_bpe_train: the full merge-training replay, one
+    * unrolled CTE round per merge (same discipline as the Lloyd chains).
+    * Each round recomputes the weighted adjacent-pair histogram over the
+    * wrapped symbol strings, takes the (cnt desc, l, r) argmax, and
+    * applies the merge with the exact same separator-delimited `replace`
+    * the Spark trainer uses — leftmost-non-overlapping on both engines. */
+  private def bpeTrainOracleSql(n: Int = 10): String = {
+    val rounds = (1 to n).map { t =>
+      s"""s$t AS (
+         |  SELECT string_split(trim(syms, chr(31)), chr(31) || chr(31)) AS s, freq
+         |  FROM w${t - 1}),
+         |p$t AS (
+         |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest([[s[i], s[i + 1]] FOR i IN range(1, len(s))]) AS pr, freq
+         |        FROM s$t WHERE len(s) >= 2)
+         |  GROUP BY 1, 2),
+         |b$t AS (SELECT l, r, cnt FROM p$t ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$t AS (
+         |  SELECT replace(w.syms,
+         |      chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+         |      chr(31) || b.l || b.r || chr(31)) AS syms, w.freq
+         |  FROM w${t - 1} w, b$t b)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to n)
+      .map(t => s"SELECT $t AS merge_rank, l AS lsym, r AS rsym, cnt FROM b$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH wf AS (
+       |  SELECT t AS word, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text),
+       |      '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+')) AS t
+       |    FROM documents) GROUP BY 1),
+       |w0 AS (
+       |  SELECT chr(31) || array_to_string(regexp_extract_all(word, '.'),
+       |    chr(31) || chr(31)) || chr(31) AS syms, freq
+       |  FROM wf),
+       |$rounds
+       |$sel
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "knn_cosine" ->
       """SELECT e.vec_id, e.label,
@@ -687,6 +729,23 @@ object SparkEntry {
       ("""SELECT 0 AS query_id, count(*) AS n_docs,
         |  string_agg(d.text, '""".stripMargin + "\n\n" +
         """' ORDER BY s.score DESC, s.vec_id) AS context
+        |FROM (
+        |  SELECT e.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, e.vec_id
+        |  LIMIT 3) s
+        |JOIN documents d ON d.doc_id = s.vec_id""".stripMargin),
+    "rag_prompt" ->
+      ("""SELECT 0 AS query_id, count(*) AS n_docs,
+        |  'Answer the question based on the following documents: "' ||
+        |  (SELECT text FROM documents WHERE doc_id = 0) || '"' || '""".stripMargin
+        + "\n\nDocuments:\n" + """' ||
+        |  string_agg(d.text, '""".stripMargin + "\n\n" +
+        """' ORDER BY s.score DESC, s.vec_id) || '""".stripMargin
+        + "\n\nGive a concise answer using only the information above." + """' AS prompt
         |FROM (
         |  SELECT e.vec_id,
         |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
@@ -1018,6 +1077,7 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY n DESC, token
         |LIMIT 200""".stripMargin,
+    "corpus_bpe_train" -> bpeTrainOracleSql(),
     // deterministic shuffle replayed as one ranked window — the Spark
     // side's (bucket offsets + local window) composition equals rank
     // under the (bucket, ord, doc_id) order by construction

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -34,6 +34,90 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(topK)
+
+  /** BPE merge training — the tokenizer-training step between
+    * [[vocab]] (the trainer input) and [[TextAnalysis.tokensBpe]] (the
+    * pre-tokenizer): learn the top-`nMerges` byte-pair merges by the
+    * classic iterative most-frequent-adjacent-pair rule (Sennrich et al.,
+    * ACL'16) over the word-frequency histogram.
+    *
+    * Scale shape: the corpus is scanned ONCE — training state is the
+    * DISTINCT-word histogram (vocab-sized, materialized to a session-temp
+    * table like the dedup signature tables), so each merge round is a
+    * pair-count aggregate + a map-only rewrite over the vocab, never the
+    * corpus. The driver-side loop collects one argmax row per round (model
+    * state, like the Lloyd trainer); `nMerges` rounds = `nMerges` tiny
+    * jobs.
+    *
+    * Determinism/oracle: pair counts are exact integer sums; the argmax
+    * tie-breaks (count desc, left, right) on binary string order — ASCII
+    * here, identical in both engines. The merge APPLICATION is a plain
+    * `replace` over a unit-separator-delimited symbol string: every
+    * symbol is wrapped `␟sym␟`, the pattern `␟l␟␟r␟` rewrites to `␟lr␟`,
+    * and leftmost-non-overlapping replace semantics (identical in Spark
+    * and DuckDB) reproduce the greedy left-to-right scan-with-skip of
+    * reference BPE exactly — including `l == r` runs, where consuming the
+    * shared boundary makes overlapping matches skip correctly. Symbols
+    * come from the word-like pre-tokens only (space/a-z/0-9/apostrophe),
+    * so the separator can never collide with symbol content. */
+  def bpeTrain(
+      spark: SparkSession,
+      sfDir: String,
+      nMerges: Int = 10): DataFrame = {
+    val us = "\u001f"
+    val wordPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+"
+    val base = Dedup.materialized(
+      Tables.documents(spark, sfDir)
+        .select(explode(
+          regexp_extract_all(lower(col("text")), lit(wordPattern), lit(0)))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .select(
+          concat(lit(us), array_join(split(col("word"), ""), us + us),
+            lit(us)).as("syms"),
+          col("freq")),
+      s"bpewords|$sfDir")
+
+    var words = base
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val top = words
+        .select(col("freq"),
+          split(expr("substring(syms, 2, length(syms) - 2)"), us + us).as("s"))
+        .where(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS l, s[i + 1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      require(top.nonEmpty,
+        s"bpeTrain: vocabulary exhausted after ${rank - 1} merges (< $nMerges)")
+      val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
+        top(0).getLong(2))
+      merges += ((rank, l, r, cnt))
+      words = words.withColumn("syms",
+        org.apache.spark.sql.functions.replace(col("syms"),
+          lit(us + l + us + us + r + us), lit(us + l + r + us)))
+    }
+    import spark.implicits._
+    merges.result().toDF("merge_rank", "lsym", "rsym", "cnt")
+  }
+
+  /** Apply a learned merge list to one symbol string (the wrapped
+    * `␟sym␟` representation) — the serving-side tokenizer step, and the
+    * replay the BpeTrainSpec pins against a reference scan-with-skip
+    * implementation. */
+  private[graft] def applyMerges(
+      syms: Column, merges: Seq[(String, String)]): Column = {
+    val us = "\u001f"
+    merges.foldLeft(syms) { case (c, (l, r)) =>
+      org.apache.spark.sql.functions.replace(c,
+        lit(us + l + us + us + r + us), lit(us + l + r + us))
+    }
+  }
 
   /** Deterministic training-order shuffle: every document gets a
     * pseudo-random (shard, pos) — shard = fingerprint mod `shards`, and

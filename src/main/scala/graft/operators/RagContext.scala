@@ -26,6 +26,36 @@ object RagContext {
   def contextFromText(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
     assemble(spark, sfDir, TextAnalysis.textSearch(spark, sfDir, k = k))
 
+  /** Prompt assembly — the last formatted artifact before the (out-of-
+    * engine-scope) LLM call: the reference's `generate_summary` wraps the
+    * user query and the joined context in a fixed instruction template
+    * (app.py:86-91 — header quoting the query, a documents block, a
+    * closing answer instruction). The template shape is re-expressed in
+    * English; the query text is document `queryDocId`'s text, the same
+    * stand-in the featurized search path uses.
+    *
+    * Scale shape: one `concat` column over the 1-row context frame; the
+    * query text rides in as a literal (query-parameter state, like the
+    * kNN query vector). */
+  def prompt(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 3,
+      queryDocId: Long = 0L): DataFrame = {
+    val query = Tables.documents(spark, sfDir)
+      .where(col("doc_id") === queryDocId)
+      .select(col("text")).head().getString(0)
+    context(spark, sfDir, k)
+      .select(col("query_id"), col("n_docs"),
+        concat(
+          lit("Answer the question based on the following documents: \""),
+          lit(query),
+          lit("\"\n\nDocuments:\n"),
+          col("context"),
+          lit("\n\nGive a concise answer using only the information above."))
+          .as("prompt"))
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion — the standard production
     * upgrade of the reference's vector-only /search (app.py:124): run the
     * lexical ranker ([[TextAnalysis.textSearch]], query = doc 0's

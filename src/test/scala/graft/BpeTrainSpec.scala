@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.functions._
+
+/** Pins the BPE trainer against a reference implementation of the classic
+  * algorithm, and — the property the oracle replay rests on — that the
+  * separator-delimited `replace` application is EXACTLY the greedy
+  * left-to-right scan-with-skip merge, including overlapping `l == r`
+  * runs. */
+class BpeTrainSpec extends SparkSpec {
+
+  private val us = "\u001f"
+  private val wordPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+".r
+
+  /** Reference greedy merge: scan left to right, merge a matching pair,
+    * skip past it (the merged symbol is not reconsidered as a left
+    * element in the same pass). */
+  private def scanMerge(
+      syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def wrap(syms: Seq[String]): String =
+    syms.map(s => us + s + us).mkString
+
+  test("learned merges equal the brute-force reference trainer") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getString(1))
+    var hist: Map[Vector[String], Long] = docs
+      .flatMap(t => wordPattern.findAllIn(t.toLowerCase).toSeq)
+      .groupBy(identity).view
+      .map { case (w, xs) => w.map(_.toString).toVector -> xs.length.toLong }
+      .toMap
+    val expected = (1 to 10).map { rank =>
+      val counts = hist.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      hist = hist.toSeq
+        .map { case (syms, f) => scanMerge(syms, l, r) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (rank, l, r, cnt)
+    }
+    val got = CorpusOps.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"merge tables differ:\n got $got\n exp $expected")
+  }
+
+  test("replace-chain application equals scan-with-skip on adversarial runs") {
+    import spark.implicits._
+    // the cases where a naive formulation diverges from reference BPE:
+    // l == r runs (odd and even), merged-symbol/raw-symbol adjacency,
+    // multi-char symbols sharing prefixes
+    val merges = Seq(("a", "a"), ("aa", "b"), ("b", "a"))
+    val words = Seq(
+      Vector("a", "a", "a"), // odd run: [aa, a], the aa must not re-pair
+      Vector("a", "a", "a", "a"), // even run: [aa, aa]
+      Vector("b", "a", "a", "b"), // mixed: (a,a) then (aa,b)? order matters
+      Vector("a", "b", "a"), // (b,a) after earlier merges
+      Vector("a", "a", "b"), // [aa, b] -> [aab] via merge 2
+      Vector("b", "a"))
+    val expected = words.map(w =>
+      merges.foldLeft(w) { case (s, (l, r)) => scanMerge(s, l, r) })
+    val got = words.map(wrap).toDF("syms")
+      .select(CorpusOps.applyMerges(col("syms"), merges).as("merged"))
+      .collect().map(_.getString(0))
+      .map(s => s.stripPrefix(us).stripSuffix(us).split(us + us).toVector)
+    assert(got.toSeq == expected,
+      s"replace-chain diverged from scan-with-skip:\n got ${got.toSeq}\n exp $expected")
+  }
+}
