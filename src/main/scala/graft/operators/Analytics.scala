@@ -34,7 +34,10 @@ object Analytics {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** TPC-H Q3 pattern: customer ⋈ orders ⋈ lineitem, revenue top-10.
-    * customer (segment-filtered) broadcasts; orderBy+limit plans as
+    * The segment-filtered customer side is UNHINTED: customer grows with
+    * the scale factor (unlike nation/region), so AQE broadcasts it from
+    * its measured runtime size while a 100 TB corpus falls back to a
+    * shuffle join instead of OOMing the driver. orderBy+limit plans as
     * TakeOrderedAndProject — no global sort. */
   def q3(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
@@ -47,7 +50,7 @@ object Analytics {
       .where(col("l_shipdate") > to_timestamp(lit("1996-01-01")))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("revenue"))
@@ -61,9 +64,11 @@ object Analytics {
 
   /** TPC-H Q9 pattern (adapted: the driver schema has no partsupp, so
     * profit reduces to discounted revenue): revenue by supplier nation ×
-    * order year for a part-name family. All dimensions broadcast;
-    * lineitem joins map-side and partial-aggregates before its one
-    * shuffle to (nation, year) groups. */
+    * order year for a part-name family. nation is constant-size and
+    * keeps its broadcast hint; part/supplier grow with the scale factor,
+    * so their joins are unhinted and AQE picks broadcast vs shuffle from
+    * measured size. lineitem partial-aggregates before its one shuffle
+    * to (nation, year) groups. */
   def q9(spark: SparkSession, sfDir: String): DataFrame = {
     val part = Tables.part(spark, sfDir)
       .where(col("p_name").contains("red"))
@@ -77,8 +82,8 @@ object Analytics {
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_discount"))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"), col("o_year"))
@@ -89,9 +94,12 @@ object Analytics {
 
   /** TPC-H Q18 pattern (large-volume orders): the HAVING subquery is one
     * orderkey-keyed aggregate whose qualifying set (rare big orders) is
-    * small — AQE broadcasts it back against orders/lineitem, so the big
-    * tables never shuffle for the join. `l_quantity` is integer-valued,
-    * so the qualifying sums are exact in any accumulation order. */
+    * small — and UNHINTED: its size is a function of the threshold and
+    * the data, so AQE broadcasts it back against orders/lineitem from
+    * its measured size (the big tables never shuffle for the join) while
+    * a pathological threshold cannot OOM the driver. `l_quantity` is
+    * integer-valued, so the qualifying sums are exact in any
+    * accumulation order. */
   def q18(spark: SparkSession, sfDir: String, threshold: Int = 250): DataFrame = {
     val big = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_orderkey"))
@@ -102,7 +110,7 @@ object Analytics {
         col("o_orderdate"))
     val cust = Tables.customer(spark, sfDir)
       .select(col("c_custkey"), col("c_name"))
-    broadcast(big)
+    big
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
@@ -113,8 +121,11 @@ object Analytics {
       .limit(100)
   }
 
-  /** TPC-H Q5 pattern: 6-way star join with region filter; all dimension
-    * tables broadcast, lineitem never shuffles before aggregation. */
+  /** TPC-H Q5 pattern: 6-way star join with region filter. nation and
+    * region are constant-size (25 / 5 rows) and keep their broadcast
+    * hints; customer and supplier grow with the scale factor, so their
+    * joins are unhinted — AQE broadcasts them at bench scale and falls
+    * back to shuffle joins when they outgrow the threshold. */
   def q5(spark: SparkSession, sfDir: String): DataFrame = {
     val region = Tables.region(spark, sfDir).where(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, sfDir)
@@ -125,8 +136,8 @@ object Analytics {
         col("o_orderdate") < to_timestamp(lit("1998-01-01")))
     val li = Tables.lineitem(spark, sfDir)
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(supp,
         li("l_suppkey") === supp("s_suppkey") &&
           cust("c_nationkey") === supp("s_nationkey"))
       .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
