@@ -56,6 +56,41 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == expected, s"merge tables differ:\n got $got\n exp $expected")
   }
 
+  test("replace-chain ≡ scan-with-skip under randomized words and merge chains") {
+    // property check of the equivalence the oracle replay rests on: for
+    // ANY word over a tiny alphabet (maximizing run/overlap collisions)
+    // and ANY chain of merges drawn from symbols the chain itself
+    // creates, the separator-delimited replace equals the reference
+    // greedy scan. Driven as plain string computation (no Spark) so
+    // thousands of cases are cheap; the Spark-side expression is the
+    // same `replace` builtin, pinned by the adversarial-runs test below.
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.forAll
+    def replaceChain(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val s = syms.map(x => us + x + us).mkString
+      val merged = s.replace(us + l + us + us + r + us, us + l + r + us)
+      merged.stripPrefix(us).stripSuffix(us).split(us + us).toVector
+    }
+    val genWord = Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.toVector))
+    val genCase = for {
+      w <- genWord
+      nMerges <- Gen.chooseNum(1, 4)
+      // candidate pair pool grows as merges create longer symbols
+      merges <- Gen.listOfN(nMerges,
+        Gen.zip(Gen.oneOf("a", "b", "aa", "ab", "ba", "bb"),
+          Gen.oneOf("a", "b", "aa", "ab", "ba", "bb")))
+    } yield (w, merges)
+    val prop = forAll(genCase) { case (w, merges) =>
+      val viaScan = merges.foldLeft(w) { case (s, (l, r)) => scanMerge(s, l, r) }
+      val viaReplace = merges.foldLeft(w) { case (s, (l, r)) => replaceChain(s, l, r) }
+      Prop(viaScan == viaReplace) :| s"w=$w merges=$merges scan=$viaScan replace=$viaReplace"
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("replace-chain application equals scan-with-skip on adversarial runs") {
     import spark.implicits._
     // the cases where a naive formulation diverges from reference BPE:
