@@ -76,7 +76,11 @@ object Bench {
     // that a tail-truncating log capture lost the head of the map (the
     // r5 artifact dropped its first ~9 queries); 0.1 ms resolution is
     // far below this host's noise floor anyway.
-    def s4(v: Double): String = f"$v%.4f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma decimal separator (de_DE, fr_FR, ...) would make the JSON
+    // unparseable
+    def s4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = names.filterNot(failed)
       .map(n => "\"" + n + "\":" + s4(times(n))).mkString("{", ",", "}")
     val total = names.filterNot(failed).map(times).sum

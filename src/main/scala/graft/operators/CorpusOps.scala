@@ -98,9 +98,10 @@ object CorpusOps {
       val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
         top(0).getLong(2))
       merges += ((rank, l, r, cnt))
+      // ONE encoding of the rewrite: the trainer applies merges through
+      // the same helper the serving side (and BpeTrainSpec) uses
       words = words.withColumn("syms",
-        org.apache.spark.sql.functions.replace(col("syms"),
-          lit(us + l + us + us + r + us), lit(us + l + r + us)))
+        applyMerges(col("syms"), Seq((l, r))))
     }
     import spark.implicits._
     merges.result().toDF("merge_rank", "lsym", "rsym", "cnt")

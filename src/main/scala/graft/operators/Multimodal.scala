@@ -64,9 +64,12 @@ object Multimodal {
   def imageDecodeBatch(batch: Array[MediaRecord]): Array[MediaMeta] =
     batch.map { r =>
       val magic = r.payload.take(4).map(b => f"$b%02X").mkString
+      // NonFatal, not just IOException: ImageIO dispatches to every
+      // classpath-registered reader SPI, and third-party plugin readers
+      // throw RuntimeExceptions on corrupt bytes
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null)
         MediaMeta(r.doc_id, r.payload.length, magic, 0, 0, 0)
       else

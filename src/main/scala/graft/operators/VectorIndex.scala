@@ -253,12 +253,25 @@ object VectorIndex {
   private def hasDelta(spark: SparkSession, path: String): Boolean =
     fs(spark).exists(new org.apache.hadoop.fs.Path(deltaPath(path)))
 
+  /** The delta as a frame with the BASE's schema. The explicit schema is
+    * load-bearing twice: a column the delta lacks (e.g. `codes` written
+    * before the PQ model existed) reads as null instead of failing the
+    * union, and — the crash case — a delta directory holding only a
+    * `_temporary` dir from a failed append read with an explicit schema
+    * is an EMPTY relation, not an 'unable to infer schema' error that
+    * would brick every store read until manual cleanup (recovery
+    * deliberately never deletes the delta, so it must be read-safe in
+    * any on-disk state). */
+  private def deltaFrame(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(deltaPath(path))
+
   /** The store's full logical content: partitioned base + append delta. */
   private def storeVectors(spark: SparkSession, path: String): DataFrame = {
     val base = spark.read.parquet(s"$path/vectors")
     if (hasDelta(spark, path))
-      base.unionByName(spark.read.parquet(deltaPath(path)),
-        allowMissingColumns = true)
+      base.unionByName(deltaFrame(spark, path, base.schema))
     else base
   }
 
@@ -694,14 +707,13 @@ object VectorIndex {
     // filter over the (small-by-contract) delta files — the partition id
     // rides as a data column there, so a probe sees exactly the delta
     // rows it would have seen in the fan-out layout.
-    val prunedBase = spark.read.parquet(s"$path/vectors")
-      .where(col(layout.partCol).isin(parts: _*))
+    val baseAll = spark.read.parquet(s"$path/vectors")
+    val prunedBase = baseAll.where(col(layout.partCol).isin(parts: _*))
     val prunedAll =
       if (hasDelta(spark, path))
         prunedBase.unionByName(
-          spark.read.parquet(deltaPath(path))
-            .where(col(layout.partCol).isin(parts: _*)),
-          allowMissingColumns = true)
+          deltaFrame(spark, path, baseAll.schema)
+            .where(col(layout.partCol).isin(parts: _*)))
       else prunedBase
     // snapshot read: drop every generation newer than the requested one
     // BEFORE resolution — the generational layout already is a full
@@ -954,14 +966,13 @@ object VectorIndex {
     val adc = adcColumn(cb, qv)
     val centroids = readModel(spark, path, IvfLayout)
     val probes = nearestCentroidIds(centroids, qv, nprobe)
-    val prunedBase = spark.read.parquet(s"$path/vectors")
-      .where(col("centroid_id").isin(probes: _*))
+    val baseAll = spark.read.parquet(s"$path/vectors")
+    val prunedBase = baseAll.where(col("centroid_id").isin(probes: _*))
     val pruned =
       if (hasDelta(spark, path))
         prunedBase.unionByName(
-          spark.read.parquet(deltaPath(path))
-            .where(col("centroid_id").isin(probes: _*)),
-          allowMissingColumns = true)
+          deltaFrame(spark, path, baseAll.schema)
+            .where(col("centroid_id").isin(probes: _*)))
       else prunedBase
     // phase 1 over the codes projection only — the embedding column is
     // never read here (spec-pinned via ReadSchema)

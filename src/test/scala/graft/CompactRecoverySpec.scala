@@ -21,6 +21,25 @@ class CompactRecoverySpec extends SparkSpec {
       k = 10, nprobe = VectorIndex.K, filter = Some(col("vec_id") =!= 0L))
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
 
+  test("a failed first append (delta dir with only _temporary) leaves the store readable") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("recover_delta").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val before = search(path)
+    // crash state: Spark's commit protocol created vectors_delta and its
+    // _temporary staging dir, but no data file ever committed. Reads
+    // must treat this as an empty delta (explicit-schema read) — NOT an
+    // 'unable to infer schema' failure — because recovery deliberately
+    // never deletes a delta.
+    hfs.mkdirs(new Path(s"$path/vectors_delta/_temporary/0"))
+    assert(search(path) == before, "empty-delta store must read as the base")
+    // and the store still accepts a real append afterwards
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    VectorIndex.appendStore(spark, path,
+      Seq((2000000L, 9, qv.toSeq)).toDF("vec_id", "label", "embedding"), gen = 1L)
+    assert(search(path).head._1 == 2000000L)
+  }
+
   test("crash between the two vectors renames: recoverStore rolls forward") {
     val path = Files.createTempDirectory("recover_fwd").toString
     VectorIndex.writeStore(spark, sfDir, path)

@@ -66,7 +66,8 @@ class CorpusOpsSpec extends SparkSpec {
     }
     val expected = docs.filter { case (_, l, b) => b < threshold(l) }
       .map(_._1).sorted.toSeq
-    val got = CorpusOps.mix(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val got = CorpusOps.mix(spark, sfDir).collect().map(_.getLong(0))
+      .sorted.toSeq // operator output is unordered by design
     assert(got == expected)
     assert(got.nonEmpty && got.size < docs.length, "mix must downsample")
     // the temperature property: rarer languages keep a LARGER fraction

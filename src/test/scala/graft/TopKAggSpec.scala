@@ -23,8 +23,12 @@ class TopKAggSpec extends SparkSpec {
   }
 
   test("TopKAgg plan matches the window-rank formulation row for row") {
-    val agg = Analytics.topKPerGroup(spark, sfDir).collect().toSeq
-    val win = Analytics.topKPerGroupWindow(spark, sfDir).collect().toSeq
+    // both formulations return unordered frames (the hash-time sort
+    // lives in SparkEntry.hashOrder): pin the compare order here
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("o_custkey", "rank").collect().toSeq
+    val agg = sorted(Analytics.topKPerGroup(spark, sfDir))
+    val win = sorted(Analytics.topKPerGroupWindow(spark, sfDir))
     assert(agg.nonEmpty)
     assert(agg.map(_.toSeq) == win.map(_.toSeq))
   }
