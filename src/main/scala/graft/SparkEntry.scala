@@ -77,6 +77,7 @@ object SparkEntry {
     "corpus_mix" -> ((s, d) => CorpusOps.mix(s, d)),
     "corpus_vocab" -> ((s, d) => CorpusOps.vocab(s, d)),
     "corpus_bpe_train" -> ((s, d) => CorpusOps.bpeTrain(s, d)),
+    "corpus_bpe_tokenize" -> ((s, d) => CorpusOps.bpeTokenize(s, d)),
     "corpus_shuffle" -> ((s, d) => CorpusOps.shuffleAssign(s, d)),
     // --- deduplication (training-data pipeline) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -148,6 +149,7 @@ object SparkEntry {
     "text_ppl" -> Seq("doc_id"),
     "doc_chunk" -> Seq("doc_id", "chunk_id"),
     "corpus_sample" -> Seq("doc_id"),
+    "corpus_bpe_tokenize" -> Seq("doc_id"),
     "corpus_pack" -> Seq("lang", "bin"),
     "corpus_decontaminate" -> Seq("doc_id"),
     "corpus_mix" -> Seq("doc_id"),
@@ -493,6 +495,38 @@ object SparkEntry {
        |$rounds
        |$sel
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Oracle for corpus_bpe_tokenize: the SAME unrolled training chain as
+    * [[bpeTrainOracleSql]] (shared CTE builder would re-inline it — the
+    * chains must stay textually identical anyway), then the learned
+    * merges b1..bN applied to every document's wrapped pre-tokens as N
+    * chained replaces, and the per-doc symbol rollup. */
+  private def bpeTokenizeOracleSql(n: Int = 10): String = {
+    val train = bpeTrainOracleSql(n)
+    // reuse everything up to (and including) the last training CTE wN;
+    // drop the trainer's final UNION-ALL select
+    val body = train.substring(0, train.lastIndexOf(s"SELECT 1 AS merge_rank"))
+      .trim.stripSuffix("UNION ALL").trim
+    val docChain = (1 to n).map { t =>
+      s"""dt$t AS (
+         |  SELECT d.doc_id,
+         |    replace(d.s, chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+         |            chr(31) || b.l || b.r || chr(31)) AS s
+         |  FROM dt${t - 1} d, b$t b)""".stripMargin
+    }.mkString(",\n")
+    s"""$body,
+       |dt0 AS (
+       |  SELECT doc_id, chr(31) || array_to_string(regexp_extract_all(word, '.'),
+       |    chr(31) || chr(31)) || chr(31) AS s
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |          '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+')) AS word
+       |        FROM documents)),
+       |$docChain
+       |SELECT doc_id, count(*) AS n_pre,
+       |  CAST(sum(len(string_split(trim(s, chr(31)), chr(31) || chr(31)))) AS BIGINT) AS n_merged
+       |FROM dt$n GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1078,6 +1112,7 @@ object SparkEntry {
         |ORDER BY n DESC, token
         |LIMIT 200""".stripMargin,
     "corpus_bpe_train" -> bpeTrainOracleSql(),
+    "corpus_bpe_tokenize" -> bpeTokenizeOracleSql(),
     // deterministic shuffle replayed as one ranked window — the Spark
     // side's (bucket offsets + local window) composition equals rank
     // under the (bucket, ord, doc_id) order by construction

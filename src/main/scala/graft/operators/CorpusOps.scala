@@ -120,6 +120,55 @@ object CorpusOps {
     }
   }
 
+  // learned merge tables are model state (like the centroid cache):
+  // train once per corpus, reuse across the tokenize query and repeated
+  // calls in one session
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def trainedMerges(
+      spark: SparkSession, sfDir: String, nMerges: Int): Seq[(String, String)] =
+    mergeCache.computeIfAbsent(s"$sfDir|$nMerges", _ =>
+      bpeTrain(spark, sfDir, nMerges).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Tokenize the corpus under the TRAINED merge table — the serving
+    * half of [[bpeTrain]], closing the vocab → train → tokenize loop:
+    * per-document token count after applying the learned merges to every
+    * word-like pre-token, i.e. the LLM-cost estimate under the actual
+    * tokenizer rather than the pre-tokenizer upper bound
+    * ([[TextAnalysis.tokensBpe]]). `n_pre` >= `n_merged` by construction;
+    * their gap is the compression the merges bought.
+    *
+    * Scale shape: training state is the driver-side merge list (model
+    * state, cached per corpus like the centroids); the scan itself is
+    * map-only — pre-tokenize, wrap, `nMerges` chained codegen'd
+    * `replace`es, count symbols — one pass, no shuffle beyond the
+    * doc-keyed aggregate's map-side partials. */
+  def bpeTokenize(
+      spark: SparkSession,
+      sfDir: String,
+      nMerges: Int = 10): DataFrame = {
+    val us = "\u001f"
+    val wordPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+"
+    val merges = trainedMerges(spark, sfDir, nMerges)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(
+          regexp_extract_all(lower(col("text")), lit(wordPattern), lit(0)))
+          .as("word"))
+      .select(col("doc_id"),
+        applyMerges(
+          concat(lit(us), array_join(split(col("word"), ""), us + us),
+            lit(us)),
+          merges).as("merged"))
+      // splitting the wrapped form on the double separator yields exactly
+      // one element per symbol; integer-exact
+      .select(col("doc_id"),
+        size(split(col("merged"), us + us)).cast("long").as("n_syms"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pre"), sum(col("n_syms")).as("n_merged"))
+  }
+
   /** Deterministic training-order shuffle: every document gets a
     * pseudo-random (shard, pos) — shard = fingerprint mod `shards`, and
     * `pos` a gapless 0-based position within its shard under the

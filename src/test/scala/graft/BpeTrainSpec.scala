@@ -56,6 +56,41 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == expected, s"merge tables differ:\n got $got\n exp $expected")
   }
 
+  test("trained-merge tokenization equals the scan-with-skip reference counts") {
+    import org.apache.spark.sql.functions.col
+    val merges = CorpusOps.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .flatMap { case (id, text) =>
+        val words = wordPattern.findAllIn(text.toLowerCase).toSeq
+        if (words.isEmpty) None
+        else {
+          val counts = words.map { w =>
+            merges.foldLeft(w.map(_.toString).toVector) {
+              case (s, (l, r)) => scanMerge(s, l, r)
+            }.length.toLong
+          }
+          Some((id, words.length.toLong, counts.sum))
+        }
+      }.sortBy(_._1).toSeq
+    val got = CorpusOps.bpeTokenize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == expected)
+    // sanity: the learned merges actually compressed the corpus — total
+    // merged symbols strictly below the character-level starting point,
+    // and never below the pre-token floor
+    val totalChars = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+      .map(t => wordPattern.findAllIn(t.toLowerCase).map(_.length).sum).sum
+    val totalMerged = got.map(_._3).sum
+    val totalPre = got.map(_._2).sum
+    assert(totalMerged < totalChars, "merges must compress vs characters")
+    assert(totalMerged >= totalPre, "a word can never drop below 1 symbol")
+  }
+
   test("replace-chain ≡ scan-with-skip under randomized words and merge chains") {
     // property check of the equivalence the oracle replay rests on: for
     // ANY word over a tiny alphabet (maximizing run/overlap collisions)
