@@ -170,4 +170,23 @@ class IvfStoreSpec extends SparkSpec {
     assert(vecs.where(col("deleted")).count() == 0)
     assert(vecs.where(col("vec_id") === victim).count() == 1)
   }
+
+  test("merge-on-read keeps partition pruning on the base branch") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_delta_prune").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    VectorIndex.appendStore(spark, path,
+      Seq((3000000L, 9, qv.toSeq)).toDF("vec_id", "label", "embedding"), gen = 1L)
+    val df = VectorIndex.searchStore(spark, path, qv, k = 5, nprobe = 4,
+      Some(col("vec_id") =!= 0L))
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    // the delta union must not cost the base scan its directory pruning:
+    // the partitioned branch keeps its centroid_id PartitionFilters even
+    // with the (unpartitioned, filter-scanned) delta unioned in
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      s"delta union lost base partition pruning:\n$plan")
+  }
 }
