@@ -88,6 +88,45 @@ object TextOps {
   }
 }
 
+object BpeOps {
+  /** Apply a ranked merge table to one separator-delimited symbol
+    * string: one `String.replace` pass per merge, in rank order —
+    * leftmost-non-overlapping, the exact greedy scan-with-skip
+    * semantics BpeTrainSpec pins. Living behind ONE expression node
+    * (instead of an nMerges-deep replace column chain) keeps the
+    * expression tree flat at production merge counts, where a
+    * thousands-deep chain would blow codegen limits. */
+  def applyMerges(
+      s: UTF8String, pats: Array[String], reps: Array[String]): UTF8String = {
+    var str = s.toString
+    var i = 0
+    while (i < pats.length) { str = str.replace(pats(i), reps(i)); i += 1 }
+    UTF8String.fromString(str)
+  }
+}
+
+/** apply_bpe_merges(syms): the full ranked merge table applied in one
+  * codegen'd loop — the serving-side BPE tokenizer step over the wrapped
+  * symbol representation. The pattern/replacement arrays ride as a
+  * codegen reference object, so the generated code is a constant-size
+  * loop regardless of merge count. */
+case class ApplyBpeMerges(
+    child: Expression, patterns: Array[String], repls: Array[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "apply_bpe_merges"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any): Any =
+    BpeOps.applyMerges(a.asInstanceOf[UTF8String], patterns, repls)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("bpePats", patterns, "java.lang.String[]")
+    val r = ctx.addReferenceObj("bpeReps", repls, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeOps.applyMerges($c, $p, $r)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** hashing_featurize(hashes): dense array of (signed bucket count, touched
   * count) pairs — the feature-hashing trick as a single codegen'd pass. */
 case class HashingFeaturize(child: Expression, dim: Int)
@@ -111,6 +150,9 @@ object TextFunctions {
   def polyFingerprint(x: Column): Column = col(PolyFingerprint(expr(x)))
   def hashingFeaturize(x: Column, dim: Int): Column =
     col(HashingFeaturize(expr(x), dim))
+  def applyBpeMerges(
+      x: Column, pats: Array[String], reps: Array[String]): Column =
+    col(ApplyBpeMerges(expr(x), pats, reps))
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Bridge.register(spark, "poly_fingerprint", es => PolyFingerprint(es.head))
 }

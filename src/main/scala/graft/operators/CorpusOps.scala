@@ -114,10 +114,9 @@ object CorpusOps {
   private[graft] def applyMerges(
       syms: Column, merges: Seq[(String, String)]): Column = {
     val us = "\u001f"
-    merges.foldLeft(syms) { case (c, (l, r)) =>
-      org.apache.spark.sql.functions.replace(c,
-        lit(us + l + us + us + r + us), lit(us + l + r + us))
-    }
+    TextFunctions.applyBpeMerges(syms,
+      merges.map { case (l, r) => us + l + us + us + r + us }.toArray,
+      merges.map { case (l, r) => us + l + r + us }.toArray)
   }
 
   // learned merge tables are model state (like the centroid cache):
@@ -141,9 +140,16 @@ object CorpusOps {
     *
     * Scale shape: training state is the driver-side merge list (model
     * state, cached per corpus like the centroids); the scan itself is
-    * map-only — pre-tokenize, wrap, `nMerges` chained codegen'd
-    * `replace`es, count symbols — one pass, no shuffle beyond the
-    * doc-keyed aggregate's map-side partials. */
+    * map-only — pre-tokenize, wrap, apply the whole merge table inside
+    * the single native [[graft.functions.ApplyBpeMerges]] expression
+    * (ONE codegen'd loop node, flat at any merge-table size — an
+    * nMerges-deep replace column chain would blow codegen limits at
+    * production vocabularies), count symbols — one pass, no shuffle
+    * beyond the doc-keyed aggregate's map-side partials. Work is still
+    * O(merges · word length) per word; a rank-priority single-pass
+    * tokenizer is the eventual constant-factor upgrade behind the same
+    * expression seam, with the contract (greedy ranked merging, pinned
+    * by BpeTrainSpec's scan-with-skip reference) unchanged. */
   def bpeTokenize(
       spark: SparkSession,
       sfDir: String,
