@@ -501,7 +501,11 @@ object SparkEntry {
     * [[bpeTrainOracleSql]] (shared CTE builder would re-inline it — the
     * chains must stay textually identical anyway), then the learned
     * merges b1..bN applied to every document's wrapped pre-tokens as N
-    * chained replaces, and the per-doc symbol rollup. */
+    * chained replaces, and the per-doc symbol rollup. Degenerate-corpus
+    * note: if the vocabulary exhausts before N merges, the Spark side
+    * fails fast (bpeTrain's require) while this SQL's empty-b$t cross
+    * joins collapse to zero rows — the harness then reports the
+    * divergence as a row-count mismatch rather than silently passing. */
   private def bpeTokenizeOracleSql(n: Int = 10): String = {
     val train = bpeTrainOracleSql(n)
     // reuse everything up to (and including) the last training CTE wN;

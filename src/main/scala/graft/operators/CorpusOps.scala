@@ -19,6 +19,12 @@ object CorpusOps {
 
   private def toks = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
 
+  // ONE definition of the BPE pre-tokenization contract: the trainer and
+  // the tokenizer must pre-tokenize byte-identically or learned merges
+  // silently apply to different words
+  private val BpeSep = "\u001f"
+  private val BpeWordPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+"
+
   /** Corpus vocabulary: top-`topK` tokens by frequency — the input a
     * tokenizer/BPE training run starts from (merge candidates come from
     * exactly this table).
@@ -64,8 +70,8 @@ object CorpusOps {
       spark: SparkSession,
       sfDir: String,
       nMerges: Int = 10): DataFrame = {
-    val us = "\u001f"
-    val wordPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+"
+    val us = BpeSep
+    val wordPattern = BpeWordPattern
     val base = Dedup.materialized(
       Tables.documents(spark, sfDir)
         .select(explode(
@@ -113,7 +119,7 @@ object CorpusOps {
     * implementation. */
   private[graft] def applyMerges(
       syms: Column, merges: Seq[(String, String)]): Column = {
-    val us = "\u001f"
+    val us = BpeSep
     TextFunctions.applyBpeMerges(syms,
       merges.map { case (l, r) => us + l + us + us + r + us }.toArray,
       merges.map { case (l, r) => us + l + r + us }.toArray)
@@ -135,8 +141,11 @@ object CorpusOps {
     * per-document token count after applying the learned merges to every
     * word-like pre-token, i.e. the LLM-cost estimate under the actual
     * tokenizer rather than the pre-tokenizer upper bound
-    * ([[TextAnalysis.tokensBpe]]). `n_pre` >= `n_merged` by construction;
-    * their gap is the compression the merges bought.
+    * ([[TextAnalysis.tokensBpe]]). Bounds, both spec-pinned: a word never
+    * merges below one symbol, so `n_merged` >= `n_pre`; merging starts
+    * from characters, so `n_merged` <= the corpus character count — and
+    * the gap below the character count is the compression the learned
+    * merges bought.
     *
     * Scale shape: training state is the driver-side merge list (model
     * state, cached per corpus like the centroids); the scan itself is
@@ -154,8 +163,8 @@ object CorpusOps {
       spark: SparkSession,
       sfDir: String,
       nMerges: Int = 10): DataFrame = {
-    val us = "\u001f"
-    val wordPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+"
+    val us = BpeSep
+    val wordPattern = BpeWordPattern
     val merges = trainedMerges(spark, sfDir, nMerges)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
