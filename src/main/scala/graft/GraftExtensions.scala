@@ -47,7 +47,16 @@ object GraftExtensions {
       es => PolyCombine(es(0), es(1).eval().asInstanceOf[Number].intValue())),
     ("hashing_featurize", 2,
       es => HashingFeaturize(es(0), es(1).eval().asInstanceOf[Number].intValue())),
-    ("simhash64", 1, es => SimHash64(es.head)))
+    ("simhash64", 1, es => SimHash64(es.head)),
+    // merge pattern/replacement tables are plan constants too (array
+    // literals of the separator-wrapped pairs)
+    ("apply_bpe_merges", 3,
+      es => ApplyBpeMerges(es(0), strArrayConst(es(1)), strArrayConst(es(2)))))
+
+  private def strArrayConst(e: Expression): Array[String] =
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString)
 
   /** Imperative registration into a live session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -36,6 +36,14 @@ class GraftExtensionsSpec extends SparkSpec {
       val hf = r.getSeq[org.apache.spark.sql.Row](5)
       assert(hf.length == 4)
       assert(hf(1).getLong(0) == -1L && hf(1).getLong(1) == 1L)
+      // the BPE merge applier with plan-constant pattern tables: merge
+      // (a,b) over wrapped "a|b" (| = U+001F boundaries)
+      val sep = "\u001f"
+      val bpe = s.sql(
+        s"""SELECT apply_bpe_merges('$sep' || 'a' || '$sep' || '$sep' || 'b' || '$sep',
+           |  array('${sep}a$sep${sep}b$sep'), array('${sep}ab$sep')) AS m"""
+          .stripMargin).head().getString(0)
+      assert(bpe == sep + "ab" + sep, s"got ${bpe.replace(sep, "|")}")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
