@@ -53,7 +53,16 @@ object CorpusOps {
     * pair-count aggregate + a map-only rewrite over the vocab, never the
     * corpus. The driver-side loop collects one argmax row per round (model
     * state, like the Lloyd trainer); `nMerges` rounds = `nMerges` tiny
-    * jobs.
+    * jobs. Each round rebuilds `syms` from the LAST MATERIALIZED
+    * histogram through ONE [[graft.functions.ApplyBpeMerges]] node
+    * carrying the full learned prefix (the expression applies its merge
+    * table sequentially in rank order, so one flat node ≡ the chained
+    * per-round form) — plan depth stays constant at any merge count,
+    * where a per-round `withColumn` chain would nest one expression per
+    * merge and collapse analysis/codegen at production budgets (32k–50k,
+    * Sennrich ACL'16 §5). Every `rematerializeEvery` rounds the rewritten
+    * histogram re-materializes and the prefix resets, capping per-round
+    * re-apply work at O(rematerializeEvery) replaces per word.
     *
     * Determinism/oracle: pair counts are exact integer sums; the argmax
     * tie-breaks (count desc, left, right) on binary string order — ASCII
@@ -69,11 +78,29 @@ object CorpusOps {
   def bpeTrain(
       spark: SparkSession,
       sfDir: String,
-      nMerges: Int = 10): DataFrame = {
+      nMerges: Int = 10,
+      rematerializeEvery: Int = 100): DataFrame =
+    bpeTrainDocs(Tables.documents(spark, sfDir), s"bpewords|$sfDir",
+      nMerges, rematerializeEvery)
+
+  /** [[bpeTrain]] over any (…, text) frame — the same plan backs the
+    * graded corpus query and the large-vocabulary trainer exercises in
+    * BpeTrainSpec (the driver's synthetic corpus holds only 61 distinct
+    * words ≈ 127 possible merges, far below a production-shaped run).
+    * `cacheKey` must uniquely name the corpus: it keys the session-temp
+    * histogram materializations. */
+  private[graft] def bpeTrainDocs(
+      docs: DataFrame,
+      cacheKey: String,
+      nMerges: Int,
+      rematerializeEvery: Int): DataFrame = {
+    require(rematerializeEvery >= 1,
+      s"bpeTrain: rematerializeEvery must be >= 1, got $rematerializeEvery")
+    val spark = docs.sparkSession
     val us = BpeSep
     val wordPattern = BpeWordPattern
-    val base = Dedup.materialized(
-      Tables.documents(spark, sfDir)
+    var base = Dedup.materialized(
+      docs
         .select(explode(
           regexp_extract_all(lower(col("text")), lit(wordPattern), lit(0)))
           .as("word"))
@@ -82,11 +109,14 @@ object CorpusOps {
           concat(lit(us), array_join(split(col("word"), ""), us + us),
             lit(us)).as("syms"),
           col("freq")),
-      s"bpewords|$sfDir")
+      cacheKey)
 
-    var words = base
+    // merges learned since `base` last materialized; applied as ONE flat
+    // expression per round, never a per-round column chain
+    var prefix = Vector.empty[(String, String)]
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (rank <- 1 to nMerges) {
+      val words = roundFrame(base, prefix)
       val top = words
         .select(col("freq"),
           split(expr("substring(syms, 2, length(syms) - 2)"), us + us).as("s"))
@@ -104,14 +134,30 @@ object CorpusOps {
       val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
         top(0).getLong(2))
       merges += ((rank, l, r, cnt))
-      // ONE encoding of the rewrite: the trainer applies merges through
-      // the same helper the serving side (and BpeTrainSpec) uses
-      words = words.withColumn("syms",
-        applyMerges(col("syms"), Seq((l, r))))
+      prefix = prefix :+ ((l, r))
+      // checkpoint content is rank-deterministic (merge application is
+      // sequential-in-rank-order however it is grouped), so the key needs
+      // only (corpus, rank)
+      if (prefix.size >= rematerializeEvery && rank < nMerges) {
+        base = Dedup.materialized(
+          roundFrame(base, prefix), s"$cacheKey|$rank")
+        prefix = Vector.empty
+      }
     }
     import spark.implicits._
     merges.result().toDF("merge_rank", "lsym", "rsym", "cnt")
   }
+
+  /** One training round's histogram view: `syms` rebuilt from the last
+    * materialized base through ONE [[graft.functions.ApplyBpeMerges]]
+    * node carrying the whole learned prefix. BpeTrainSpec pins that this
+    * frame holds exactly one merge-application node regardless of prefix
+    * length — the constant-plan-depth property the trainer's merge-count
+    * scaling rests on. */
+  private[graft] def roundFrame(
+      base: DataFrame, prefix: Seq[(String, String)]): DataFrame =
+    if (prefix.isEmpty) base
+    else base.withColumn("syms", applyMerges(col("syms"), prefix))
 
   /** Apply a learned merge list to one symbol string (the wrapped
     * `␟sym␟` representation) — the serving-side tokenizer step, and the

@@ -35,21 +35,7 @@ class BpeTrainSpec extends SparkSpec {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getString(1))
-    var hist: Map[Vector[String], Long] = docs
-      .flatMap(t => wordPattern.findAllIn(t.toLowerCase).toSeq)
-      .groupBy(identity).view
-      .map { case (w, xs) => w.map(_.toString).toVector -> xs.length.toLong }
-      .toMap
-    val expected = (1 to 10).map { rank =>
-      val counts = hist.toSeq.flatMap { case (syms, f) =>
-        syms.zip(syms.tail).map(p => p -> f)
-      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
-      val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
-      hist = hist.toSeq
-        .map { case (syms, f) => scanMerge(syms, l, r) -> f }
-        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      (rank, l, r, cnt)
-    }
+    val expected = referenceMerges(docs.toSeq, 10)
     val got = CorpusOps.bpeTrain(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
@@ -89,6 +75,71 @@ class BpeTrainSpec extends SparkSpec {
     val totalPre = got.map(_._2).sum
     assert(totalMerged < totalChars, "merges must compress vs characters")
     assert(totalMerged >= totalPre, "a word can never drop below 1 symbol")
+  }
+
+  test("round frame holds ONE merge node regardless of prefix length") {
+    import spark.implicits._
+    // the constant-plan-depth property: a 200-merge prefix must reach the
+    // histogram as a single flat ApplyBpeMerges node, not a 200-deep chain
+    val base = Seq((wrap(Vector("a", "b")), 1L)).toDF("syms", "freq")
+    val prefix = (1 to 200).map(i => (s"l$i", s"r$i"))
+    val frame = CorpusOps.roundFrame(base, prefix)
+    val mergeNodes = frame.queryExecution.analyzed.expressions
+      .flatMap(_.collect { case e: graft.functions.ApplyBpeMerges => e })
+    assert(mergeNodes.length == 1,
+      s"expected ONE ApplyBpeMerges node, found ${mergeNodes.length}")
+    assert(mergeNodes.head.patterns.length == 200)
+  }
+
+  /** Brute-force reference trainer over raw texts (same pre-tokenizer,
+    * same greedy argmax, same tie-break) — the oracle both trainer tests
+    * pin against. */
+  private def referenceMerges(
+      texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+    var hist: Map[Vector[String], Long] = texts
+      .flatMap(t => wordPattern.findAllIn(t.toLowerCase).toSeq)
+      .groupBy(identity).view
+      .map { case (w, xs) => w.map(_.toString).toVector -> xs.length.toLong }
+      .toMap
+    (1 to n).map { rank =>
+      val counts = hist.toSeq.flatMap { case (syms, f) =>
+        syms.zip(syms.tail).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      hist = hist.toSeq
+        .map { case (syms, f) => scanMerge(syms, l, r) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (rank, l, r, cnt)
+    }
+  }
+
+  test("trainer survives nMerges >= 200 with checkpointed rematerialization") {
+    import spark.implicits._
+    // the driver corpus holds only 61 distinct words (~127 possible
+    // merges), so a production-shaped run needs a generated
+    // large-vocabulary corpus: 400 deterministic syllable words (plus
+    // their space-prefixed pre-token variants) ≈ 1200+ learnable merges.
+    // 200 rounds with a small checkpoint interval exercises the
+    // rematerialization path several times; equality against the
+    // brute-force reference pins that checkpoint + flat-prefix rebuild
+    // changes nothing.
+    val syll = Vector("ba", "ce", "di", "fo", "gu", "ha", "ki", "lo",
+      "mu", "ne", "po", "qua", "ri", "so", "tu", "ve", "wi", "xo", "yu", "ze")
+    val words = (for { a <- syll; b <- syll } yield a + b).take(400)
+    val texts = words.zipWithIndex.map { case (w, i) =>
+      ((w + " ") * (1 + (400 - i) / 8)).trim
+    }
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = CorpusOps.bpeTrainDocs(docs, "spec|bigvocab", 200,
+      rematerializeEvery = 32).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got.length == 200)
+    val expected = referenceMerges(texts, 200)
+    assert(got == expected,
+      s"200-merge run diverged from reference at rank ${
+        got.zip(expected).indexWhere { case (a, b) => a != b } + 1}")
   }
 
   test("replace-chain ≡ scan-with-skip under randomized words and merge chains") {
