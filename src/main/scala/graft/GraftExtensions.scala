@@ -53,10 +53,17 @@ object GraftExtensions {
     ("apply_bpe_merges", 3,
       es => ApplyBpeMerges(es(0), strArrayConst(es(1)), strArrayConst(es(2)))))
 
-  private def strArrayConst(e: Expression): Array[String] =
-    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  private def strArrayConst(e: Expression): Array[String] = {
+    require(e.foldable,
+      "apply_bpe_merges: pattern/replacement tables must be constant " +
+        s"(array literals), got non-foldable expression: ${e.sql}")
+    val v = e.eval()
+    require(v != null,
+      "apply_bpe_merges: pattern/replacement tables must be non-null")
+    v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toObjectArray(org.apache.spark.sql.types.StringType)
       .map(_.toString)
+  }
 
   /** Imperative registration into a live session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

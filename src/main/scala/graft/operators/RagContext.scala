@@ -42,9 +42,14 @@ object RagContext {
       sfDir: String,
       k: Int = 3,
       queryDocId: Long = 0L): DataFrame = {
-    val query = Tables.documents(spark, sfDir)
+    val queryRow = Tables.documents(spark, sfDir)
       .where(col("doc_id") === queryDocId)
-      .select(col("text")).head().getString(0)
+      .select(col("text")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"prompt: queryDocId $queryDocId not found in $sfDir documents"))
+    require(!queryRow.isNullAt(0),
+      s"prompt: document $queryDocId has NULL text")
+    val query = queryRow.getString(0)
     context(spark, sfDir, k)
       .select(col("query_id"), col("n_docs"),
         concat(
