@@ -68,6 +68,8 @@ object SparkEntry {
     "text_ppl" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
     "doc_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "chunk_search" -> ((s, d) => TextAnalysis.chunkSearch(s, d)),
+    "chunk_search_ivf" -> ((s, d) => TextStore.chunkSearchIvf(s, d)),
+    "add_texts" -> ((s, d) => TextStore.ingestBatch(s, d)),
     "bm25_search" -> ((s, d) => TextAnalysis.bm25(s, d)),
     // --- corpus ops (training-data pipeline: stats / sample / pack) ---
     "corpus_stats" -> ((s, d) => CorpusOps.stats(s, d)),
@@ -148,6 +150,7 @@ object SparkEntry {
     "text_featurize" -> Seq("doc_id", "dim"),
     "text_ppl" -> Seq("doc_id"),
     "doc_chunk" -> Seq("doc_id", "chunk_id"),
+    "add_texts" -> Seq("vec_id", "dim"),
     "corpus_sample" -> Seq("doc_id"),
     "corpus_bpe_tokenize" -> Seq("doc_id"),
     "corpus_pack" -> Seq("lang", "bin"),
@@ -292,11 +295,16 @@ object SparkEntry {
     * regardless so the contract stays pinned. `eqs` is the sampled slice
     * of the quantized coordinates the training iterations read; the final
     * assignment (and query-side lookups) keep reading the full `eq`. */
+  /** Bounded-training-sample replay over whatever `eq` the host chain
+    * defined (embeddings-table vectors or computed chunk vectors) — the
+    * modulus sizes off the distinct vec_id count, exactly the Spark
+    * trainer's `trainingSample` over its input frame. */
   private val sampleCtes: String =
     """km AS (
-      |  SELECT greatest(1, (count(*) + 65535) // 65536) AS m FROM embeddings),
+      |  SELECT greatest(1, (count(DISTINCT vec_id) + 65535) // 65536) AS m
+      |  FROM eq),
       |samp AS (
-      |  SELECT vec_id FROM embeddings, km
+      |  SELECT DISTINCT vec_id FROM eq, km
       |  WHERE ((CAST(vec_id AS HUGEINT) * 1315423911)
       |         % 2305843009213693951) % m = 0),
       |eqs AS (SELECT e.* FROM eq e JOIN samp USING (vec_id))""".stripMargin
@@ -312,7 +320,12 @@ object SparkEntry {
     * trained model state is no longer engine-dependent: DuckDB reaches
     * bit-identical centroids. 64 = the embedding dim of the test tables;
     * 16 = K; 5 = Iters (VectorIndex.scala). */
-  private def ivfModelCtes: String = {
+  /** The Lloyd replay chain over whatever `eq` (vec_id, dim, q) the host
+    * defined: bounded sample, k-smallest-id seeds, five integer
+    * iterations, and the final full assignment `fa` — shared by the
+    * embeddings-table IVF oracles and the chunk-store oracle (the model
+    * replay is source-independent, exactly like the Spark trainer). */
+  private def lloydChainCtes: String = {
     val iters = (1 to 5).map { t =>
       s"""d$t AS (
          |  SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS dd
@@ -331,12 +344,7 @@ object SparkEntry {
          |  FROM c${t - 1} c LEFT JOIN u$t u ON c.cid = u.cid AND c.dim = u.dim)"""
         .stripMargin
     }.mkString(",\n")
-    s"""eq AS (
-       |  SELECT e.vec_id, r.i AS dim,
-       |    CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1048576.0 + 0.5)
-       |      AS BIGINT) AS q
-       |  FROM embeddings e, range(64) r(i)),
-       |$sampleCtes,
+    s"""$sampleCtes,
        |seeds AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
        |  FROM (SELECT vec_id FROM samp ORDER BY vec_id LIMIT 16)),
@@ -351,6 +359,14 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
        |    FROM fd) WHERE rn = 1)""".stripMargin
   }
+
+  private def ivfModelCtes: String =
+    s"""eq AS (
+       |  SELECT e.vec_id, r.i AS dim,
+       |    CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1048576.0 + 0.5)
+       |      AS BIGINT) AS q
+       |  FROM embeddings e, range(64) r(i)),
+       |$lloydChainCtes""".stripMargin
 
   /** Shared tail for the batch-through-the-index oracles: per-query probe
     * selection over the replayed centroids (integer distances, ties to
@@ -456,6 +472,130 @@ object SparkEntry {
        |  FROM fa f JOIN embeddings e USING (vec_id) $docJoin, qv
        |  WHERE f.cid IN (SELECT cid FROM probes) AND e.vec_id <> 0 $extraFilter)
        |$tail""".stripMargin
+
+  /** The chunk store's vector source replayed: sliding-window chunks →
+    * signed hash-bucket weights (the text_featurize chain keyed by chunk)
+    * → REAL-cast unit vectors (`weight / sqrt(norm2)` from exact integer
+    * weights — integers < 2^24 and their 2^-20 scalings are exact in
+    * float, so the cast round-trips) → the 2^20 fixed-point `eq` surface
+    * the shared Lloyd chain trains on. `cemb` keeps the DOUBLE-precision
+    * embedding values for exact cosine scoring; zero-signal chunks are
+    * dropped exactly like the Spark side's norm2 > 0 gate. */
+  private val chunkEqCtes: String =
+    """ch AS (
+      |  SELECT doc_id, chunk_id,
+      |    substring(text, CAST(chunk_id * 90 + 1 AS INTEGER), 120) AS chunk
+      |  FROM (
+      |    SELECT doc_id, text, unnest(range(
+      |      greatest(1, (length(text) - 30 + 89) // 90))) AS chunk_id
+      |    FROM documents)),
+      |ce AS (
+      |  SELECT doc_id, chunk_id,
+      |    unnest(regexp_extract_all(lower(chunk), '[a-z0-9]+')) AS t
+      |  FROM ch),
+      |chh AS (
+      |  SELECT doc_id, chunk_id,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+      |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS hv
+      |  FROM ce),
+      |cw AS (
+      |  SELECT doc_id, chunk_id, CAST(hv % 64 AS INTEGER) AS dim,
+      |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+      |  FROM chh GROUP BY 1, 2, 3),
+      |cn AS (
+      |  SELECT doc_id, chunk_id, CAST(sum(weight * weight) AS BIGINT) AS norm2
+      |  FROM cw GROUP BY 1, 2 HAVING sum(weight * weight) > 0),
+      |cemb AS (
+      |  SELECT n.doc_id * 4096 + n.chunk_id AS vec_id, r.i AS dim,
+      |    CAST(CAST(coalesce(w.weight, 0) / sqrt(CAST(n.norm2 AS DOUBLE)) AS REAL)
+      |      AS DOUBLE) AS v
+      |  FROM cn n CROSS JOIN range(64) r(i)
+      |  LEFT JOIN cw w
+      |    ON w.doc_id = n.doc_id AND w.chunk_id = n.chunk_id AND w.dim = r.i),
+      |eq AS (
+      |  SELECT vec_id, dim,
+      |    CAST(floor(v * 1048576.0 + 0.5) AS BIGINT) AS q
+      |  FROM cemb)""".stripMargin
+
+  /** Oracle for the chunk-granular STORE search: the chunk vectors + the
+    * shared Lloyd model replay, then the query document's whole-text unit
+    * vector, the nprobe=4 probe set on the fixed-point grid, and the
+    * pruned exact cosine top-k — the full [[operators.TextStore
+    * .chunkSearchIvf]] path end to end. */
+  private def chunkStoreOracleSql: String =
+    s"""WITH $chunkEqCtes,
+       |$lloydChainCtes,
+       |qe AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+       |  FROM documents WHERE doc_id = 0),
+       |qh AS (
+       |  SELECT CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |    [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+       |    (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS hv
+       |  FROM qe),
+       |qw AS (
+       |  SELECT CAST(hv % 64 AS INTEGER) AS dim,
+       |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+       |  FROM qh GROUP BY 1),
+       |qn AS (SELECT CAST(sum(weight * weight) AS BIGINT) AS norm2 FROM qw),
+       |qemb AS (
+       |  SELECT r.i AS dim,
+       |    CAST(CAST(coalesce(w.weight, 0) / sqrt(CAST(qn.norm2 AS DOUBLE)) AS REAL)
+       |      AS DOUBLE) AS v
+       |  FROM qn CROSS JOIN range(64) r(i)
+       |  LEFT JOIN qw w ON w.dim = r.i),
+       |qq AS (SELECT dim, CAST(floor(v * 1048576.0 + 0.5) AS BIGINT) AS q FROM qemb),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid, sum((c.cq - q.q) * (c.cq - q.q)) AS dd
+       |    FROM c5 c JOIN qq q USING (dim) GROUP BY 1)
+       |  ORDER BY dd, cid LIMIT 4),
+       |cl AS (SELECT vec_id, list(v ORDER BY dim) AS emb FROM cemb GROUP BY 1),
+       |ql AS (SELECT list(v ORDER BY dim) AS emb FROM qemb)
+       |SELECT f.vec_id // 4096 AS doc_id, f.vec_id % 4096 AS chunk_id,
+       |  ROUND(list_cosine_similarity(cl.emb, ql.emb), 4) AS score
+       |FROM fa f JOIN cl USING (vec_id), ql
+       |WHERE f.cid IN (SELECT cid FROM probes) AND f.vec_id // 4096 <> 0
+       |ORDER BY score DESC, doc_id, chunk_id
+       |LIMIT 10""".stripMargin
+
+  /** Oracle for the `add_texts` ingestion transform: store-ready rows
+    * (vec_id scheme, chunk-id label, metadata JSON, exploded integer
+    * weights) for the first five documents — integer/string-exact end to
+    * end, so the ingest contract replays with no float surface at all. */
+  private def addTextsOracleSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, chunk_id, lang,
+      |    substring(text, CAST(chunk_id * 90 + 1 AS INTEGER), 120) AS chunk
+      |  FROM (
+      |    SELECT doc_id, text, lang, unnest(range(
+      |      greatest(1, (length(text) - 30 + 89) // 90))) AS chunk_id
+      |    FROM documents WHERE doc_id < 5)),
+      |ce AS (
+      |  SELECT doc_id, chunk_id, lang,
+      |    unnest(regexp_extract_all(lower(chunk), '[a-z0-9]+')) AS t
+      |  FROM ch),
+      |chh AS (
+      |  SELECT doc_id, chunk_id, lang,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+      |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS hv
+      |  FROM ce),
+      |cw AS (
+      |  SELECT doc_id, chunk_id, lang, CAST(hv % 64 AS INTEGER) AS dim,
+      |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+      |  FROM chh GROUP BY 1, 2, 3, 4),
+      |cn AS (
+      |  SELECT doc_id, chunk_id FROM cw GROUP BY 1, 2
+      |  HAVING sum(weight * weight) > 0)
+      |SELECT w.doc_id * 4096 + w.chunk_id AS vec_id,
+      |  CAST(w.chunk_id AS INTEGER) AS label,
+      |  '{"doc_id":' || w.doc_id || ',"chunk_id":' || w.chunk_id ||
+      |    ',"lang":"' || w.lang || '"}' AS metadata,
+      |  w.dim, w.weight
+      |FROM cw w JOIN cn USING (doc_id, chunk_id)
+      |ORDER BY vec_id, dim""".stripMargin
 
   /** Oracle for corpus_bpe_train: the full merge-training replay, one
     * unrolled CTE round per merge (same discipline as the Lloyd chains).
@@ -1022,6 +1162,11 @@ object SparkEntry {
         |WHERE norm2 > 0
         |ORDER BY score DESC, doc_id, chunk_id
         |LIMIT 10""".stripMargin,
+    // the chunk STORE search replayed end to end: computed chunk vectors,
+    // the shared fixed-point Lloyd model, probe pruning, exact cosine
+    "chunk_search_ivf" -> chunkStoreOracleSql,
+    // the add_texts ingestion transform: store-ready rows, integer-exact
+    "add_texts" -> addTextsOracleSql,
     // the lone transcendental (idf's ln) is pinned to 4dp on both sides
     // BEFORE combination; every other factor is IEEE +,·,/ in the same
     // spelled-out order, so the 4dp score is engine-independent

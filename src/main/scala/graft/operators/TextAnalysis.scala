@@ -326,26 +326,37 @@ object TextAnalysis {
       spark: SparkSession,
       sfDir: String,
       size: Int = 120,
-      overlap: Int = 30): DataFrame = {
+      overlap: Int = 30): DataFrame =
+    chunkDocs(Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      size, overlap)
+
+  /** [[chunk]] over any frame with a `text` column: every non-text input
+    * column passes through unchanged, plus (chunk_id, c_start, chunk,
+    * c_len) — the shared splitter backing the graded query, the chunk
+    * store build, and the `addTexts` ingestion batch
+    * ([[TextStore.chunkVectors]]), which is what keeps backfill and live
+    * ingest chunking provably identical. */
+  private[graft] def chunkDocs(
+      docs: DataFrame, size: Int, overlap: Int): DataFrame = {
     // overlap >= size makes step <= 0: the n_chunks division silently
     // degrades to null / a single truncated chunk instead of failing —
     // reject the parameters up front like bm25 does
     require(overlap >= 0 && overlap < size,
       s"chunk overlap must be in [0, size): overlap=$overlap size=$size")
     val step = size - overlap
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"),
-        length(col("text")).cast("long").as("n"))
+    val pass = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs
+      .withColumn("n", length(col("text")).cast("long"))
       .withColumn("n_chunks",
         greatest(lit(1L),
           expr(s"(n - $overlap + ${step - 1}) div $step")))
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
-      .select(
-        col("doc_id"), col("chunk_id"),
+      .select(pass ++ Seq(col("text"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id")): _*)
+      .select(pass ++ Seq(
+        col("chunk_id"),
         (col("chunk_id") * step).as("c_start"),
         expr(s"substring(text, cast(chunk_id * $step + 1 as int), $size)")
-          .as("chunk"))
+          .as("chunk")): _*)
       .withColumn("c_len", length(col("chunk")).cast("long"))
   }
 

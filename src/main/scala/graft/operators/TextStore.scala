@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The TEXT-facing store surface — the reference's actual ingestion
+  * contract: langchain_ydb `add_texts(texts, metadatas)` takes raw texts,
+  * embeds them INSIDE the store, and upserts (app.py:24-47's ingestion
+  * exercises exactly this; the caller never sees a vector). Re-expressed
+  * Spark-first: texts → sliding-window chunks ([[TextAnalysis.chunkDocs]])
+  * → hashing-trick unit vectors (the deterministic stand-in for the
+  * reference's embedding model, same stance as [[TextAnalysis.featurize]])
+  * → store-ready rows appended through the ONE layout-parameterized CRUD
+  * implementation ([[VectorIndex.appendStore]]). Search goes the other
+  * way: a raw query text is featurized by the SAME expressions and probes
+  * the partition-pruned store.
+  *
+  * The chunk store this builds is the shape a production RAG index takes
+  * at 100 TB: the index unit is the CHUNK (what retrieval actually
+  * ranks), vectors live partitioned by centroid so a probe reads
+  * nprobe/k of the corpus, and ingest lands as generational delta
+  * appends — batch-sized, not store-sized.
+  *
+  * Determinism/oracle: the whole text → vector chain is integer hashing +
+  * one sqrt + one divide + one float cast per coordinate, so the DuckDB
+  * oracle replays the embeddings bit for bit (REAL cast of
+  * `weight / sqrt(norm2)` from exact integer weights), and the IVF model
+  * over them replays through the same fixed-point Lloyd chain as the
+  * embeddings-table stores.
+  */
+object TextStore {
+  /** Feature dimension of the hashing featurizer — matches
+    * [[TextAnalysis.featurize]]'s default so the text and vector sides of
+    * the engine share one feature space shape. */
+  final val Dim = 64
+  final val ChunkSize = 120
+  final val ChunkOverlap = 30
+
+  /** Chunk vec_id scheme: `vec_id = doc_id · 2^12 + chunk_id` — stable,
+    * engine-replayable, and collision-free for documents under 4096
+    * chunks (~370 KB at the default window; a corpus with larger
+    * documents widens the shift, the scheme itself is headroom-bound at
+    * doc_id < 2^51). Overflowing chunk_ids raise rather than silently
+    * collide. */
+  final val ChunkIdBits = 12
+  private final val ChunkMod = 1L << ChunkIdBits
+
+  // ---- the shared text → feature-vector expressions -------------------
+  // ONE definition each, used by corpus-side chunk vectorization and the
+  // driver-side query featurization: the two sides must hash and
+  // normalize byte-identically or ingest and search silently live in
+  // different spaces.
+  private def tokenHashes(textCol: Column): Column =
+    transform(
+      regexp_extract_all(lower(textCol), lit("[a-z0-9]+"), lit(0)),
+      t => TextFunctions.polyFingerprint(t))
+  private val norm2Col: Column =
+    expr("aggregate(ws, 0L, (s, x) -> s + x.w * x.w)")
+  private val unitVecCol: Column =
+    expr("transform(ws, x -> cast(x.w / sqrt(cast(norm2 as double)) as float))")
+
+  /** Per-chunk signed bucket weights for any (doc_id, text, lang) frame:
+    * (doc_id, chunk_id, lang, ws, norm2), zero-signal chunks (no tokens,
+    * or all signs cancelled) dropped — a zero vector is unsearchable
+    * under cosine and untrainable under Lloyd. */
+  private def chunkWeights(
+      docs: DataFrame, dim: Int, size: Int, overlap: Int): DataFrame =
+    TextAnalysis.chunkDocs(
+        docs.select(col("doc_id"), col("text"), col("lang")), size, overlap)
+      .select(col("doc_id"), col("chunk_id"), col("lang"),
+        tokenHashes(col("chunk")).as("hs"))
+      .select(col("doc_id"), col("chunk_id"), col("lang"),
+        TextFunctions.hashingFeaturize(col("hs"), dim).as("ws"))
+      .withColumn("norm2", norm2Col)
+      .where(col("norm2") > 0)
+
+  /** The `add_texts` ingestion transform — texts in, store-ready vector
+    * rows (vec_id, label, embedding, metadata) out. This ONE frame
+    * builder backs the graded `add_texts` query, the chunk-store build,
+    * the batch [[addTexts]] upsert, and the streaming ingest
+    * ([[graft.streaming.StoreStream.ingestTexts]]), so backfill and live
+    * ingest are provably the same computation.
+    *
+    * Scale shape: map-only — chunking, hashing, the in-row weight
+    * accumulation, and normalization all fuse into one codegen'd scan;
+    * no shuffle until the store write's partitioning. */
+  def chunkVectors(
+      docs: DataFrame,
+      dim: Int = Dim,
+      size: Int = ChunkSize,
+      overlap: Int = ChunkOverlap): DataFrame =
+    chunkWeights(docs, dim, size, overlap)
+      .select(
+        expr(s"CASE WHEN chunk_id < $ChunkMod THEN doc_id * $ChunkMod + chunk_id " +
+          s"ELSE raise_error('chunk_id overflows the $ChunkIdBits-bit vec_id scheme') END")
+          .cast("long").as("vec_id"),
+        col("chunk_id").cast("int").as("label"),
+        unitVecCol.as("embedding"),
+        to_json(struct(col("doc_id"), col("chunk_id"), col("lang")))
+          .as("metadata"))
+
+  /** The graded ingestion batch: store-ready rows for the first
+    * `nDocs` documents, weights exploded to (vec_id, label, metadata,
+    * dim, weight) so the output is integer/string-exact end to end. */
+  def ingestBatch(
+      spark: SparkSession, sfDir: String, nDocs: Int = 5): DataFrame =
+    chunkWeights(Tables.documents(spark, sfDir).where(col("doc_id") < nDocs),
+        Dim, ChunkSize, ChunkOverlap)
+      .select(
+        (col("doc_id") * ChunkMod + col("chunk_id")).as("vec_id"),
+        col("chunk_id").cast("int").as("label"),
+        to_json(struct(col("doc_id"), col("chunk_id"), col("lang")))
+          .as("metadata"),
+        posexplode(col("ws")).as(Seq("dim", "s")))
+      .where(col("s.n") > 0)
+      .select(col("vec_id"), col("label"), col("metadata"),
+        col("dim").cast("int").as("dim"), col("s.w").as("weight"))
+
+  /** Featurize one raw text into the query vector — the driver-side step
+    * the reference pays an embedding-API call for (app.py:118). Runs the
+    * SAME column expressions as [[chunkVectors]] over a 1-row local
+    * relation (one tiny job, no scan), so parity with the corpus side is
+    * by construction, not by reimplementation. */
+  def featurizeText(
+      spark: SparkSession, text: String, dim: Int = Dim): Array[Float] = {
+    import spark.implicits._
+    val rows = Seq(text).toDF("t")
+      .select(tokenHashes(col("t")).as("hs"))
+      .select(TextFunctions.hashingFeaturize(col("hs"), dim).as("ws"))
+      .withColumn("norm2", norm2Col)
+      .where(col("norm2") > 0)
+      .select(unitVecCol)
+      .collect()
+    require(rows.nonEmpty,
+      "featurizeText: query text has no hashable tokens (or all signs cancelled)")
+    rows(0).getSeq[Float](0).toArray
+  }
+
+  // ---- chunk store build + search -------------------------------------
+
+  /** Build the materialized IVF chunk store: every document chunked,
+    * featurized, and written partitioned by nearest centroid — the build
+    * that makes [[chunkSearchIvf]] a partition-pruned read instead of
+    * the inline [[TextAnalysis.chunkSearch]] full scan. */
+  def writeChunkStore(spark: SparkSession, sfDir: String, path: String): Unit =
+    VectorIndex.writeVectorStore(spark,
+      chunkVectors(Tables.documents(spark, sfDir)), path)
+
+  /** LSH-layout twin (bucket-partitioned, data-independent hyperplanes). */
+  def writeLshChunkStore(
+      spark: SparkSession, sfDir: String, path: String, nPlanes: Int = 8): Unit =
+    VectorIndex.writeLshVectorStore(spark,
+      chunkVectors(Tables.documents(spark, sfDir)), path, nPlanes, Dim)
+
+  private val chunkStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def ensureChunkStore(spark: SparkSession, sfDir: String): String =
+    chunkStoreCache.computeIfAbsent(sfDir, { _ =>
+      val path = java.nio.file.Files.createTempDirectory("graft_chunk_store_")
+        .toString
+      writeChunkStore(spark, sfDir, path)
+      path
+    })
+
+  /** Search the chunk store with a RAW TEXT query — the reference's
+    * /search contract (text in, ranked hits out) through the pruned
+    * index: featurize the query with the shared expressions, probe the
+    * nprobe nearest centroid partitions, exact cosine top-k over the
+    * pruned rows. */
+  def searchByText(
+      spark: SparkSession,
+      path: String,
+      queryText: String,
+      k: Int = 10,
+      nprobe: Int = 4,
+      filter: Option[Column] = None): DataFrame =
+    VectorIndex.searchStore(spark, path,
+        featurizeText(spark, queryText), k, nprobe, filter)
+      .select(
+        expr(s"vec_id div $ChunkMod").as("doc_id"),
+        expr(s"vec_id % $ChunkMod").as("chunk_id"),
+        col("score"))
+
+  /** [[searchByText]] against the LSH-layout chunk store: same raw-text
+    * contract, multi-probe bucket pruning instead of centroid pruning. */
+  def searchByTextLsh(
+      spark: SparkSession,
+      path: String,
+      queryText: String,
+      k: Int = 10,
+      probeHamming: Int = 2,
+      filter: Option[Column] = None): DataFrame =
+    VectorIndex.searchLshStore(spark, path,
+        featurizeText(spark, queryText), k, probeHamming, filter)
+      .select(
+        expr(s"vec_id div $ChunkMod").as("doc_id"),
+        expr(s"vec_id % $ChunkMod").as("chunk_id"),
+        col("score"))
+
+  /** The graded chunk-granular index search: chunk store built once
+    * (session cache — persistent state in production), query = document
+    * `queryDocId`'s WHOLE text featurized (the same query stand-in
+    * [[TextAnalysis.chunkSearch]] uses), the query document's own chunks
+    * excluded. Returns (doc_id, chunk_id, score). */
+  def chunkSearchIvf(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      nprobe: Int = 4,
+      queryDocId: Long = 0L): DataFrame = {
+    val path = ensureChunkStore(spark, sfDir)
+    val qRow = Tables.documents(spark, sfDir)
+      .where(col("doc_id") === queryDocId)
+      .select(col("text")).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"chunkSearchIvf: queryDocId $queryDocId not found in $sfDir"))
+    searchByText(spark, path, qRow.getString(0), k, nprobe,
+      filter = Some(expr(s"vec_id div $ChunkMod <> $queryDocId")))
+  }
+
+  // ---- the add_texts growth path --------------------------------------
+
+  /** `add_texts(texts, metadatas)` — the reference store's ingestion
+    * call: raw (doc_id, text, lang) rows are chunked + featurized by the
+    * shared transform and upserted as ONE delta generation through the
+    * layout-shared CRUD surface. Nothing already written moves; a
+    * [[searchByText]] issued after this call sees the new chunks (spec:
+    * TextStoreSpec pins top-rank retrieval of freshly added texts on
+    * both layouts). */
+  def addTexts(
+      spark: SparkSession, path: String, texts: DataFrame, gen: Long): Unit =
+    VectorIndex.appendStore(spark, path, chunkVectors(texts), gen)
+
+  /** LSH-layout twin of [[addTexts]] — same transform, same delta
+    * contract, bucket-partitioned store. */
+  def addTextsLsh(
+      spark: SparkSession, path: String, texts: DataFrame, gen: Long): Unit =
+    VectorIndex.appendLshStore(spark, path, chunkVectors(texts), gen)
+}

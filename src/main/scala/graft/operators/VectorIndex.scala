@@ -360,8 +360,21 @@ object VectorIndex {
     // ADC search can scan the 8-byte code column instead of the embedding
     val pqCb =
       if (layout == IvfLayout) Some(trainPqCodebooks(spark, sfDir)) else None
-    val base = Tables.embeddings(spark, sfDir)
+    val vectors = Tables.embeddings(spark, sfDir)
       .join(metadata, col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("label"), col("embedding"), col("metadata"))
+    writeVectorsAt(spark, vectors, path, layout, model, pqCb)
+  }
+
+  /** The layout write over ANY store-ready (vec_id, label, embedding,
+    * metadata) frame — shared by the embeddings-table build above and the
+    * text-ingestion store ([[TextStore]]), so every store on disk has the
+    * one physical contract whatever produced its vectors. */
+  private def writeVectorsAt(
+      spark: SparkSession, vectors: DataFrame, path: String,
+      layout: StoreLayout, model: Array[Array[Float]],
+      pqCb: Option[Array[Array[Array[Float]]]]): Unit = {
+    val base = vectors
       .select(col("vec_id"), col("label"), col("embedding"), col("metadata"),
         lit(false).as("deleted"), lit(0L).as("gen"),
         layout.assign(model, col("embedding")).as(layout.partCol))
@@ -373,6 +386,24 @@ object VectorIndex {
     pqCb.foreach(cb => writePqModelTable(spark, path, cb))
     setSingleGen(spark, path, v = true)
   }
+
+  /** Materialize an IVF store from any store-ready vectors frame (no PQ
+    * side-model): trains the deterministic Lloyd centroids on the frame
+    * itself unless a model is supplied. The text-ingestion path
+    * ([[TextStore]]) builds its chunk store through this. */
+  def writeVectorStore(
+      spark: SparkSession, vectors: DataFrame, path: String,
+      trained: Option[Array[Array[Float]]] = None): Unit =
+    writeVectorsAt(spark, vectors, path, IvfLayout,
+      trained.getOrElse(trainLloyd(vectors.select(col("vec_id"),
+        col("embedding")))), pqCb = None)
+
+  /** LSH-layout twin of [[writeVectorStore]]. */
+  def writeLshVectorStore(
+      spark: SparkSession, vectors: DataFrame, path: String,
+      nPlanes: Int = 8, dim: Int = 64): Unit =
+    writeVectorsAt(spark, vectors, path, LshLayout,
+      IndexOps.hyperplanes(nPlanes, dim), pqCb = None)
 
   /** Materialize the IVF store: vectors written `partitionBy(centroid_id)`
     * plus a centroids side-table — the layout that turns an `nprobe`-probe

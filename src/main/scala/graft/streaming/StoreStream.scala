@@ -49,6 +49,35 @@ object StoreStream {
     ingestWith(spark, dir, startGen, checkpointDir,
       VectorIndex.appendLshStore(_, storePath, _, _))
 
+  val textSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Live `add_texts` with RAW TEXTS — the reference's actual streaming
+    * ingestion contract (texts in, the store embeds internally): each
+    * micro-batch of (doc_id, text, lang) rows runs the SAME
+    * chunk+featurize transform as batch ingestion
+    * ([[graft.operators.TextStore.chunkVectors]]) inside foreachBatch,
+    * then upserts through the shared CRUD surface — one transform, one
+    * write path, whether the texts arrive by backfill or by stream. */
+  def ingestTexts(
+      spark: SparkSession,
+      dir: String,
+      storePath: String,
+      startGen: Long,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream
+      .schema(textSchema)
+      .json(dir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextStore.addTexts(
+          batch.sparkSession, storePath, batch, startGen + batchId)
+      }
+      .start()
+
   private def ingestWith(
       spark: SparkSession,
       dir: String,
