@@ -85,8 +85,13 @@ object Bench {
       .map(n => "\"" + n + "\":" + s4(times(n))).mkString("{", ",", "}")
     val total = names.filterNot(failed).map(times).sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // self-describing partial sweeps: a skipped query is a deliberate gap,
+    // not a fast run — without this a SPARK_GRAFT_SKIP sweep's total is
+    // indistinguishable from a full run except by missing keys
+    val skippedJson = (SparkEntry.queries.keySet & skip).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces copy for log-capture truncation: the same line, as
     // a file next to the run
