@@ -285,14 +285,45 @@ object VectorIndex {
       modelDir: String,
       modelIdCol: String,
       modelVecCol: String,
-      assign: (Array[Array[Float]], Column) => Column)
+      assign: (Array[Array[Float]], Column) => Column,
+      // Directory granularity: 2^grpShift logical partitions share one
+      // physical directory (0 = one dir per partition id). The LSH layout
+      // has 2^nPlanes = 256 buckets — one dir each costs ~256 parquet
+      // writer open/close cycles plus per-dir commit work on EVERY
+      // rewrite (measured 3.5× the 16-dir IVF compaction,
+      // BENCH_lifecycle_r6, ~18 ms/dir), and at 100 TB it multiplies the
+      // small-file count 16×. Grouped, the dir count matches the IVF
+      // layout, `partCol` rides as a bucket-sorted DATA column, and a
+      // probe prunes dirs by group then row-groups/pages by the sorted
+      // bucket stats — the standard coarse-partition + clustered-sort
+      // lakehouse shape.
+      grpShift: Int = 0) {
+    val grouped: Boolean = grpShift > 0
+    val grpCol: String = s"${partCol}_grp"
+    /** The physical partition column of the written layout. */
+    def dirCol: String = if (grouped) grpCol else partCol
+    /** Add the derived dir column ahead of a partitioned write. */
+    def withDir(df: DataFrame): DataFrame =
+      if (grouped) df.withColumn(grpCol, shiftright(col(partCol), grpShift))
+      else df
+    /** The base-scan prune predicate for a probe set: dir-level partition
+      * pruning plus the partition-id filter (pushed to row-group/page
+      * stats when grouped — the write sorts by partCol within dirs). */
+    def prunePred(parts: Seq[Int]): Column = {
+      val byPart = col(partCol).isin(parts: _*)
+      if (grouped)
+        col(grpCol).isin(parts.map(_ >> grpShift).distinct: _*) && byPart
+      else byPart
+    }
+  }
 
   private val IvfLayout = StoreLayout(
     "centroid_id", "centroids", "centroid_id", "centroid",
     (c, e) => IndexFunctions.nearestCentroid(e, c).getField("centroid_id"))
   private val LshLayout = StoreLayout(
     "bucket", "planes", "plane_id", "plane",
-    (p, e) => IndexFunctions.hyperplaneLsh(e, p))
+    (p, e) => IndexFunctions.hyperplaneLsh(e, p),
+    grpShift = 4)
 
   // Serving model state (centroids / planes) cached per store path: probe
   // selection must not pay a parquet-read Spark job per query. Writers and
@@ -378,14 +409,37 @@ object VectorIndex {
       .select(col("vec_id"), col("label"), col("embedding"), col("metadata"),
         lit(false).as("deleted"), lit(0L).as("gen"),
         layout.assign(model, col("embedding")).as(layout.partCol))
-    pqCb.fold(base)(cb => base.withColumn("codes", pqCodesCol(cb)))
-      .write.mode("overwrite").partitionBy(layout.partCol)
-      .parquet(s"$path/vectors")
+    writePartitioned(
+      pqCb.fold(base)(cb => base.withColumn("codes", pqCodesCol(cb))),
+      layout, s"$path/vectors")
     writeModelTable(spark, s"$path/${layout.modelDir}", layout, model)
     modelCache.put(s"$path/${layout.modelDir}", model)
     pqCb.foreach(cb => writePqModelTable(spark, path, cb))
     setSingleGen(spark, path, v = true)
   }
+
+  /** The one physical write of a partitioned store layout. Rows are
+    * REBALANCE-hinted onto the dir column first: without the co-location,
+    * every upstream task holds rows of every dir and the writer fans out
+    * tasks × dirs small files (256 bucket dirs × 32 tasks ≈ 8k files per
+    * rewrite — the measured 3.5× lsh_compact vs ivf_compact gap,
+    * BENCH_lifecycle_r6). Rebalanced, the file count is ~one per dir per
+    * target-size chunk, and AQE still splits a skewed dir across tasks
+    * (capped by maxRecordsPerFile so a hot centroid at 100 TB rolls into
+    * bounded files) instead of serializing it through one writer. The
+    * within-task sort puts `partCol` in ascending runs inside each file,
+    * so grouped layouts keep partition-id skipping at the row-group/page
+    * level (sort keys prefix-match the writer's required dir-col
+    * ordering, so no second sort is inserted). */
+  private def writePartitioned(
+      rows: DataFrame, layout: StoreLayout, dir: String): Unit =
+    layout.withDir(rows)
+      .hint("rebalance", col(layout.dirCol))
+      .sortWithinPartitions(col(layout.dirCol), col(layout.partCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 4 * 1000 * 1000)
+      .partitionBy(layout.dirCol)
+      .parquet(dir)
 
   /** Materialize an IVF store from any store-ready vectors frame (no PQ
     * side-model): trains the deterministic Lloyd centroids on the frame
@@ -606,8 +660,7 @@ object VectorIndex {
         folded.withColumn("codes", pqCodesCol(readPqModel(spark, path)))
       else folded
     // two-phase rewrite: parquet cannot overwrite a path it is reading
-    latest.write.mode("overwrite").partitionBy(layout.partCol)
-      .parquet(s"$path/vectors_compact")
+    writePartitioned(latest, layout, s"$path/vectors_compact")
     live.unpersist()
     val f = fs(spark)
     def P(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
@@ -739,7 +792,11 @@ object VectorIndex {
     // rides as a data column there, so a probe sees exactly the delta
     // rows it would have seen in the fan-out layout.
     val baseAll = spark.read.parquet(s"$path/vectors")
-    val prunedBase = baseAll.where(col(layout.partCol).isin(parts: _*))
+    val prunedBase = baseAll.where(layout.prunePred(parts))
+    // delta rows carry the partition id as a data column but no dir
+    // column (deltaFrame fills it as null under the base schema), so the
+    // delta side prunes on the partition id alone — a row filter over the
+    // small-by-contract delta files.
     val prunedAll =
       if (hasDelta(spark, path))
         prunedBase.unionByName(

@@ -102,7 +102,7 @@ class IvfStoreSpec extends SparkSpec {
   test("lsh store search prunes bucket partitions and matches the inline probe") {
     val stored = VectorIndex.lshSearchStore(spark, sfDir)
     val plan = stored.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [bucket"),
+    assert(plan.contains("PartitionFilters: [bucket_grp"),
       s"bucket partition filter not pushed:\n$plan")
     val inline = VectorIndex.lshSearch(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(3))).toSeq

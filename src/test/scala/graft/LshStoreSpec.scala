@@ -66,7 +66,7 @@ class LshStoreSpec extends SparkSpec {
     val probe = VectorIndex.searchLshStore(spark, path, qv, k = 10,
       probeHamming = 2, filter = Some(enFilter))
     val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [bucket"),
+    assert(plan.contains("PartitionFilters: [bucket_grp"),
       s"bucket pruning lost under the JSON filter:\n$plan")
     val rows = probe.collect()
     assert(rows.nonEmpty)
