@@ -118,6 +118,7 @@ object SparkEntry {
     }),
     // --- multimodal (stubbed decode, real plumbing) ---
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
+    "mm_meta_real" -> ((s, d) => Multimodal.metaReal(s, d)),
     "mm_dedup" -> ((s, d) => Multimodal.contentDedup(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
@@ -170,6 +171,7 @@ object SparkEntry {
     "pq_build" -> Seq("vec_id", "sub"),
     "vec_normalize" -> Seq("vec_id"),
     "mm_meta" -> Seq("doc_id"),
+    "mm_meta_real" -> Seq("doc_id"),
     "mm_dedup" -> Seq("doc_id"),
     "mm_frames" -> Seq("doc_id", "frame_idx"),
     "mm_resize" -> Seq("doc_id"),
@@ -1870,6 +1872,18 @@ object SparkEntry {
         |  CAST(16 * (1 + octet_length(encode(text)) % 64) AS INTEGER) AS width,
         |  CAST(16 * (1 + (octet_length(encode(text)) // 64) % 64) AS INTEGER) AS height,
         |  CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm_meta_real's oracle predicts the TRUE raster geometry of the
+    // in-pipeline-encoded PNG/BMP containers: a hash match means the real
+    // javax.imageio decode parsed every container to its exact written
+    // geometry (decode failure yields a zero-geometry row -> mismatch).
+    "mm_meta_real" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |  CAST(16 + (doc_id % 13) * 3 AS INTEGER) AS width,
+        |  CAST(9 + (doc_id % 7) * 5 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS frames,
+        |  TRUE AS magic_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,

@@ -77,6 +77,63 @@ object Multimodal {
           img.getWidth, img.getHeight, 1)
     }
 
+  /** Deterministic real-container image encoder (PNG/BMP via the JRE's
+    * `javax.imageio` writers — zero extra dependencies). The pixel fill
+    * varies per coordinate so no encoder can collapse the raster to a
+    * degenerate constant plane. Shared by [[realMediaTable]] and
+    * ImageDecodeSpec so the graded path and the spec exercise the same
+    * bytes-producing function. */
+  def encodeImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); y += 1 }
+      x += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, out))
+      throw new IllegalStateException(s"no $format image writer in this JRE")
+    out.toByteArray
+  }
+
+  /** REAL-bytes media table: every document gets an actual PNG or BMP
+    * container encoded in-pipeline, geometry derived from `doc_id` by
+    * arithmetic the oracle replays. The corpus ships no media payloads,
+    * so the bytes are born here — but they are true container formats
+    * round-tripped through a real codec, not the stub's length
+    * arithmetic: the decode stage cannot pass by construction, only by
+    * actually parsing the container. Map-only: encode and decode live in
+    * the same partition, nothing shuffles. */
+  def realMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 13).toInt * 3
+        val h = 9 + (id % 7).toInt * 5
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        MediaRecord(id, encodeImage(w, h, fmt))
+      })
+  }
+
+  /** `mm_meta_real` query: the REAL `javax.imageio` decoder
+    * ([[imageDecodeBatch]]) over real generated container bytes, graded —
+    * the oracle predicts the true raster geometry from `doc_id`, so a
+    * hash match proves the decode stage parsed every container correctly
+    * (a failed decode surfaces as a zero-geometry row and breaks the
+    * hash). `magic_ok` additionally pins the container signature bytes
+    * (PNG's fixed 8-byte magic prefix, BMP's "BM"). */
+  def metaReal(spark: SparkSession, sfDir: String): DataFrame =
+    decodeSeam(realMediaTable(spark, sfDir), imageDecodeBatch)
+      .toDF()
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, "png").otherwise("bmp").as("fmt"),
+        col("width"), col("height"), col("frames"),
+        when(col("doc_id") % 2 === 0, col("magic") === "89504E47")
+          .otherwise(col("magic").startsWith("424D")).as("magic_ok"))
+
   /** The binary ingest table: documents' text bytes standing in for media
     * payloads. */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {

@@ -2,9 +2,6 @@ package graft
 
 import graft.operators.Multimodal
 import graft.operators.Multimodal.MediaRecord
-import java.awt.image.BufferedImage
-import java.io.ByteArrayOutputStream
-import javax.imageio.ImageIO
 
 /** Real media bytes through the batched decode seam (VERDICT r5 item 6):
   * the graded mm_* queries run the deterministic stub (the corpus has no
@@ -14,16 +11,10 @@ import javax.imageio.ImageIO
   * zero-dependency via the JRE's javax.imageio. */
 class ImageDecodeSpec extends SparkSpec {
 
-  private def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-    // deterministic pixel fill: geometry is what the spec checks, but a
-    // constant image could be optimized oddly by an encoder — vary it
-    for (x <- 0 until w; y <- 0 until h)
-      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
-    val out = new ByteArrayOutputStream()
-    assert(ImageIO.write(img, format, out), s"no $format writer in this JRE")
-    out.toByteArray
-  }
+  // the shared in-pipeline encoder — the same function the graded
+  // mm_meta_real query generates its container bytes with
+  private def imageBytes(w: Int, h: Int, format: String): Array[Byte] =
+    Multimodal.encodeImage(w, h, format)
 
   test("real PNG and BMP bytes decode through the batched seam with true geometry") {
     import spark.implicits._
