@@ -108,7 +108,9 @@ object SparkEntry {
     "knn_ivf_pq" -> ((s, d) => VectorIndex.ivfPqSearchStore(s, d)),
     "knn_mmr_ivf" -> ((s, d) => VectorIndex.ivfMmrStore(s, d)),
     "knn_batch_ivf" -> ((s, d) => VectorIndex.batchIvfSearchStore(s, d)),
+    "knn_batch_lsh" -> ((s, d) => VectorIndex.batchLshSearchStore(s, d)),
     "ann_eval" -> ((s, d) => VectorIndex.annEval(s, d)),
+    "ann_eval_lsh" -> ((s, d) => VectorIndex.annEvalLsh(s, d)),
     "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
     "lsh_search" -> ((s, d) => VectorIndex.lshSearchStore(s, d)),
     "lsh_filtered_json" -> ((s, d) => {
@@ -119,6 +121,7 @@ object SparkEntry {
     // --- multimodal (stubbed decode, real plumbing) ---
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
     "mm_meta_real" -> ((s, d) => Multimodal.metaReal(s, d)),
+    "mm_resize_real" -> ((s, d) => Multimodal.resizeReal(s, d)),
     "mm_dedup" -> ((s, d) => Multimodal.contentDedup(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
@@ -172,6 +175,7 @@ object SparkEntry {
     "vec_normalize" -> Seq("vec_id"),
     "mm_meta" -> Seq("doc_id"),
     "mm_meta_real" -> Seq("doc_id"),
+    "mm_resize_real" -> Seq("doc_id"),
     "mm_dedup" -> Seq("doc_id"),
     "mm_frames" -> Seq("doc_id", "frame_idx"),
     "mm_resize" -> Seq("doc_id"),
@@ -286,6 +290,58 @@ object SparkEntry {
        |WHERE s.bucket IN (SELECT b FROM probes)
        |ORDER BY score DESC, s.vec_id
        |LIMIT 10""".stripMargin
+  }
+
+  /** Batch multi-probe LSH replay — [[lshStoreOracleSql]]'s chain
+    * generalized to a query SET: per-query plane margins and signature,
+    * per-query flip-cost-ordered probe window (row_number partitioned by
+    * query instead of a single ORDER BY/LIMIT; cost terms accumulate
+    * left-to-right in plane order like the Scala loop), then the probed
+    * corpus scored per query. Ends in `sc(query_id, vec_id, score)` like
+    * [[batchIvfCtes]] so the top-k and recall heads compose identically. */
+  private def batchLshCtes: String = {
+    val planes = graft.functions.IndexOps.hyperplanes(8, 64)
+    def lst(p: Array[Float]): String =
+      p.map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    val sigExpr = planes.zipWithIndex
+      .map { case (p, i) =>
+        s"(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), ${lst(p)}) > 0 THEN ${1 << i} ELSE 0 END)" }
+      .mkString("\n    + ")
+    val qDots = planes.zipWithIndex
+      .map { case (p, i) => s"list_inner_product(qv, ${lst(p)}) AS d$i" }
+      .mkString(",\n    ")
+    val qSigExpr = (0 until 8)
+      .map(i => s"(CASE WHEN d$i > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    val costExpr = (0 until 8)
+      .map(i => s"(CASE WHEN (xor(r.b, q.qsig) >> $i) & 1 = 1 THEN abs(q.d$i) ELSE 0.0 END)")
+      .mkString("\n        + ")
+    s"""lq AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |lqm AS (
+       |  SELECT query_id, qv,
+       |    $qDots
+       |  FROM lq),
+       |lqms AS (SELECT *, $qSigExpr AS qsig FROM lqm),
+       |lqprobes AS (
+       |  SELECT query_id, b FROM (
+       |    SELECT q.query_id, CAST(r.b AS INTEGER) AS b,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        $costExpr,
+       |        r.b) AS rn
+       |    FROM range(256) r(b), lqms q) WHERE rn <= 37),
+       |lsigs AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    $sigExpr AS bucket
+       |  FROM embeddings e
+       |  WHERE e.vec_id >= 5),
+       |sc AS (
+       |  SELECT q.query_id, s.vec_id,
+       |    ROUND(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), q.qv), 4) AS score
+       |  FROM lsigs s
+       |  JOIN lqprobes p ON s.bucket = p.b
+       |  JOIN lqms q ON q.query_id = p.query_id)""".stripMargin
   }
 
   /** The deterministic training-sample CTEs shared by the IVF and PQ
@@ -1663,6 +1719,41 @@ object SparkEntry {
           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
           |  FROM sc) WHERE rank <= 5
           |ORDER BY query_id, rank""".stripMargin),
+    "knn_batch_lsh" ->
+      (s"WITH ${batchLshCtes}\n" +
+        """SELECT query_id, vec_id, score, rank FROM (
+          |  SELECT query_id, vec_id, score,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+          |  FROM sc) WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin),
+    // recall@k of the multi-probe LSH batch probe vs the exact batch scan
+    "ann_eval_lsh" ->
+      (s"WITH ${batchLshCtes},\n" +
+        """ap AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          |    FROM sc) WHERE rn <= 5),
+          |ex AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          |    FROM (
+          |      SELECT q.vec_id AS query_id, e.vec_id,
+          |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
+          |      FROM embeddings e CROSS JOIN embeddings q
+          |      WHERE q.vec_id < 5 AND e.vec_id >= 5))
+          |  WHERE rn <= 5),
+          |h AS (
+          |  SELECT ex.query_id, count(*) AS n_hit
+          |  FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1),
+          |pq AS (
+          |  SELECT q.query_id, coalesce(h.n_hit, 0) / 5.0 AS recall
+          |  FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id))
+          |SELECT count(*) AS n_queries, 5 AS k,
+          |  FLOOR(avg(recall) * 10000 + 0.5) / 10000.0 AS mean_recall,
+          |  FLOOR(min(recall) * 10000 + 0.5) / 10000.0 AS min_recall
+          |FROM pq""".stripMargin),
     // recall@k of the pruned batch probe vs the exact batch scan, as data
     "ann_eval" ->
       (s"WITH $ivfModelCtes,\n" + batchIvfCtes + ",\n" +
@@ -1885,6 +1976,23 @@ object SparkEntry {
         |  CAST(1 AS INTEGER) AS frames,
         |  TRUE AS magic_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // decode -> resize composed on real bytes: plan geometry from the
+    // REAL decoded raster (doc_id-derived sizes, like mm_meta_real)
+    "mm_resize_real" ->
+      """SELECT doc_id, CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height,
+        |  CAST(greatest(1, width * scale_bp // 10000) AS INTEGER) AS target_w,
+        |  CAST(greatest(1, height * scale_bp // 10000) AS INTEGER) AS target_h,
+        |  CAST(scale_bp AS INTEGER) AS scale_pct
+        |FROM (
+        |  SELECT doc_id, width, height,
+        |    least(10000, 10000 * 224 // greatest(width, height)) AS scale_bp
+        |  FROM (
+        |    SELECT doc_id,
+        |      16 + (doc_id % 13) * 3 AS width,
+        |      9 + (doc_id % 7) * 5 AS height
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |  CAST((n_bytes * 131 + frame_idx) % 256 AS INTEGER) AS brightness

@@ -134,6 +134,21 @@ object Multimodal {
         when(col("doc_id") % 2 === 0, col("magic") === "89504E47")
           .otherwise(col("magic").startsWith("424D")).as("magic_ok"))
 
+  /** `mm_resize_real` query: the decode → resize composition on REAL
+    * bytes — the aspect-preserving fit-to-box planner runs downstream of
+    * the real `javax.imageio` decode, so the geometry it plans from is
+    * what the codec actually parsed, not stub arithmetic. The oracle
+    * derives the same plan from the doc_id geometry: a hash match proves
+    * decode and planning composed correctly end to end. */
+  def resizeReal(spark: SparkSession, sfDir: String, box: Int = 224): DataFrame = {
+    import spark.implicits._
+    decodeSeam(realMediaTable(spark, sfDir), imageDecodeBatch)
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(g => stubResizeBatch(g.toArray, box))
+      }
+      .toDF()
+  }
+
   /** The binary ingest table: documents' text bytes standing in for media
     * payloads. */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {

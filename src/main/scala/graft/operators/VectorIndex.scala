@@ -1014,6 +1014,74 @@ object VectorIndex {
       TextAnalysis.round4(min(col("recall"))).as("min_recall"))
   }
 
+  /** Batch kNN THROUGH the LSH index — [[batchIvfSearchStore]]'s contract
+    * on the bucket-partitioned layout: each query's margin-aware
+    * multi-probe set is computed driver-side from the cached plane
+    * matrix, the store is scanned ONCE pruned at the union of all probe
+    * sets, each pruned row joins only the queries probing its bucket via
+    * a broadcast (query_id, bucket, query_vec) probe table, and the
+    * per-query top-k is the TopKAgg partial aggregate — k rows per query
+    * cross the wire, the corpus never shuffles. */
+  def batchLshSearchStore(
+      spark: SparkSession,
+      sfDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      probeHamming: Int = 2): DataFrame = {
+    import spark.implicits._
+    val path = ensureLshStore(spark, sfDir)
+    val planes = readModel(spark, path, LshLayout)
+    val queries = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val probePairs = queries.flatMap { case (qid, qv) =>
+      multiProbeBuckets(planes, qv, probeHamming)
+        .map(b => (qid, b, qv.toSeq))
+    }.toSeq
+    val allProbes = probePairs.map(_._2).distinct
+    val probeDf = probePairs.toDF("query_id", "p_b", "query_vec")
+    val scored = resolvedPartitions(spark, path, LshLayout, allProbes,
+      Some(col("vec_id") >= nQueries))
+      .join(broadcast(probeDf), col("bucket") === col("p_b"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("embedding"), col("query_vec")), 4).as("score"))
+    KnnSearch.perQueryTopK(scored, k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Index-health eval for the LSH family — [[annEval]]'s measurement on
+    * the bucket-partitioned store: recall@k of the multi-probe batch
+    * probe vs the exact batch scan, one summary row. The LSH probe is
+    * approximate by design (the hamming-budget/recall trade-off
+    * AnnRecallSpec documents), so the continuous health check matters
+    * MORE here than for IVF: a drifting corpus degrades bucket balance
+    * silently, and this query is what catches it. */
+  def annEvalLsh(
+      spark: SparkSession,
+      sfDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      probeHamming: Int = 2): DataFrame = {
+    val exact = KnnSearch.batchTopK(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = batchLshSearchStore(spark, sfDir, nQueries, k, probeHamming)
+      .select(col("query_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val perQuery = exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      lit(k).as("k"),
+      TextAnalysis.round4(avg(col("recall"))).as("mean_recall"),
+      TextAnalysis.round4(min(col("recall"))).as("min_recall"))
+  }
+
   /** IVF-PQ search through the materialized store — the classic pairing
     * (Jégou et al., TPAMI'11) the quantized-index family is built on:
     * the coarse quantizer prunes WHICH partitions are read (nprobe/k of

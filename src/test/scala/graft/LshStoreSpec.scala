@@ -139,4 +139,39 @@ class LshStoreSpec extends SparkSpec {
     // the appended vector is near-zero, far from the query: top-10 unchanged
     assert(result() == fresh)
   }
+
+  test("batch lsh probe equals per-query store probes; one scan, broadcast probe table") {
+    import org.apache.spark.sql.functions.col
+    val batch = VectorIndex.batchLshSearchStore(spark, sfDir)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket_grp"),
+      "the shared scan must prune at the union of all probe sets")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the (query, bucket) probe table must broadcast against the pruned scan")
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val path = VectorIndex.ensureLshStore(spark, sfDir)
+    val expected = (0L until 5L).flatMap { q =>
+      val qv = graft.operators.KnnSearch.queryVector(spark, sfDir, q)
+      VectorIndex.searchLshStore(spark, path, qv, k = 5,
+        probeHamming = 2, filter = Some(col("vec_id") >= 5))
+        .collect().map(r => (q, r.getLong(0), r.getDouble(3)))
+    }
+    assert(got.sorted == expected.sorted)
+  }
+
+  test("annEvalLsh's summary equals the hand-joined recall of its two inputs") {
+    val exact = graft.operators.KnnSearch.batchTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val approx = VectorIndex.batchLshSearchStore(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val recalls = exact.map { case (q, es) =>
+      val a = approx.getOrElse(q, Array.empty).map(_._2).toSet
+      es.count(e => a.contains(e._2)).toDouble / 5.0
+    }.toSeq
+    val r = VectorIndex.annEvalLsh(spark, sfDir).collect().head
+    assert(r.getLong(0) == recalls.size)
+    assert(math.abs(r.getDouble(2) - recalls.sum / recalls.size) < 1e-9)
+    assert(math.abs(r.getDouble(3) - recalls.min) < 1e-9)
+  }
 }
