@@ -86,11 +86,16 @@ object Multimodal {
   def encodeImage(w: Int, h: Int, format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var x = 0
-    while (x < w) {
-      var y = 0
-      while (y < h) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); y += 1 }
-      x += 1
+    // fill through the backing int buffer: same stored values as
+    // per-pixel setRGB on TYPE_INT_RGB, without its per-call colormodel
+    // conversion (the measured encode hotspot at 50k images/sweep)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { data(y * w + x) = (x * 31 + y * 17) & 0xffffff; x += 1 }
+      y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
     if (!javax.imageio.ImageIO.write(img, format, out))
@@ -110,6 +115,13 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
+      // the codec round-trip is ~10 ms/image of real CPU while the input
+      // is an 8-byte id — a 50 MB id scan arrives as 1-2 parquet splits,
+      // which would serialize 50k encodes onto 2 cores. Spreading the
+      // slim id frame across the cluster first costs a shuffle of ids
+      // only and makes the encode/decode width the cluster's, not the
+      // scan's.
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val w = 16 + (id % 13).toInt * 3
         val h = 9 + (id % 7).toInt * 5
