@@ -14,6 +14,14 @@ object GraftSession {
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // Floor on scan parallelism for small-but-dense inputs. The dup-heavy
+      // corpora compress ~100:1, so a CPU-heavy scan stage (featurize,
+      // simhash, quality) can arrive as 1-2 byte-range splits and serialize
+      // onto 2 cores while 30 idle. minPartitionNum lowers the split size to
+      // totalBytes/2N for small inputs only — for large inputs the
+      // 128 MB maxPartitionBytes cap wins and this is a no-op, so it is
+      // safe to ship to a real cluster unchanged.
+      .config("spark.sql.files.minPartitionNum", (2 * cores).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

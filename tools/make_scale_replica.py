@@ -11,9 +11,18 @@ Payload columns are unchanged — the replica is duplicate-heavy by
 construction, which is itself a realistic (and adversarial) shape for the
 dedup operators.
 
+Fact tables are written as a DIRECTORY of n*SLICES files (one file per
+copy x deterministic key-hash slice): a 100 TB corpus arrives as thousands
+of files, and the dup-heavy replica compresses so well that a single-file
+replica hands Spark 1-2 byte-range splits — serializing every CPU-heavy
+scan stage (featurize, simhash, quality) onto 2 cores while 30 idle,
+which measures the fixture, not the engine. Spark reads the directory
+transparently; dimension tables stay single-file.
+
 Usage: python3 tools/make_scale_replica.py SRC_DIR DST_DIR [N=10]
 """
 import os
+import shutil
 import sys
 
 import duckdb
@@ -24,6 +33,15 @@ import pyarrow.parquet as pq
 src, dst = sys.argv[1], sys.argv[2]
 n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 OFF = 10_000_000
+SLICES = 4  # files per copy; n*SLICES total, sized for ~32 local cores
+
+
+def fresh_dir(dp):
+    if os.path.isdir(dp):
+        shutil.rmtree(dp)
+    elif os.path.exists(dp):
+        os.remove(dp)
+    os.makedirs(dp)
 
 KEYS = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
@@ -51,18 +69,26 @@ def replicate_events(sp, dp):
         mx = pc.max(t.column(k)).as_py()
         if mx is not None and mx >= OFF:
             sys.exit(f"events.{k} max {mx} >= offset {OFF}; raise OFF")
-    copies = []
+    fresh_dir(dp)
+    rows = 0
     for i in range(n):
         c = t
         for k in ("event_id", "user_id"):
             idx = c.schema.get_field_index(k)
             shifted = pc.add(c.column(k), i * OFF)
             c = c.set_column(idx, k, shifted)
-        copies.append(c)
-    out = pa.concat_tables(copies)
-    pq.write_table(out, dp, use_deprecated_int96_timestamps=False,
-                   coerce_timestamps=None)
-    print(f"events: x{n} -> {out.num_rows} rows (pyarrow, ns timestamps)")
+        rows += c.num_rows
+        # positional slices keep the source's ts clustering inside each file
+        step = (c.num_rows + SLICES - 1) // SLICES
+        for j in range(SLICES):
+            part = c.slice(j * step, step)
+            if part.num_rows:
+                pq.write_table(
+                    part, f"{dp}/part-{i:02d}-{j}.parquet",
+                    use_deprecated_int96_timestamps=False,
+                    coerce_timestamps=None)
+    print(f"events: x{n} -> {rows} rows (pyarrow, ns timestamps, "
+          f"{n * SLICES} files)")
 
 
 for t, ks in KEYS.items():
@@ -84,11 +110,16 @@ for t, ks in KEYS.items():
             f"SELECT max({k}) FROM read_parquet('{sp}')").fetchone()[0]
         if mx is not None and mx >= OFF:
             sys.exit(f"{t}.{k} max {mx} >= offset {OFF}; raise OFF")
-    sel = ", ".join(
-        f"CAST(t.{c} + i.i * {OFF} AS BIGINT) AS {c}" if c in ks else f"t.{c}"
-        for c in cols)
-    con.execute(
-        f"COPY (SELECT {sel} FROM read_parquet('{sp}') t, "
-        f"(SELECT unnest(range({n})) AS i) i) TO '{dp}' (FORMAT PARQUET)")
-    rows = con.execute(f"SELECT count(*) FROM read_parquet('{dp}')").fetchone()[0]
-    print(f"{t}: x{n} -> {rows} rows")
+    fresh_dir(dp)
+    for i in range(n):
+        sel = ", ".join(
+            f"CAST(t.{c} + {i * OFF} AS BIGINT) AS {c}" if c in ks else f"t.{c}"
+            for c in cols)
+        for j in range(SLICES):
+            con.execute(
+                f"COPY (SELECT {sel} FROM read_parquet('{sp}') t "
+                f"WHERE hash(t.{ks[0]}) % {SLICES} = {j}) "
+                f"TO '{dp}/part-{i:02d}-{j}.parquet' (FORMAT PARQUET)")
+    rows = con.execute(
+        f"SELECT count(*) FROM read_parquet('{dp}/*.parquet')").fetchone()[0]
+    print(f"{t}: x{n} -> {rows} rows ({n * SLICES} files)")
