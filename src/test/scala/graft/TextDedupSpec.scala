@@ -271,4 +271,42 @@ class TextDedupSpec extends SparkSpec {
       s"only-got=${(got -- expected).toSeq.sortBy(_._1).take(5)} " +
         s"only-exp=${(expected -- got).toSeq.sortBy(_._1).take(5)}")
   }
+
+  test("LSH pairs survive a capped lowest band and are emitted exactly once") {
+    import spark.implicits._
+    // 5 identical all-positive vectors: their sigs match in all 8 bands,
+    // so band 0 is every pair's lowest matching band. 3 extras share ONLY
+    // band 0's sig (first 8 dims positive) — they push band 0's bucket to
+    // 8 members while bands 1-7 stay at 5. With maxBucket=6, band 0 is
+    // dead: the 10 identical pairs must still surface through band 1
+    // (the cross-band redundancy the banding promises), and the
+    // lowest-surviving-band ownership must emit each exactly once.
+    val dim = 64
+    val identical = (0L until 5L).map { i =>
+      (i, Array.fill(dim)(1.0f).toSeq)
+    }
+    val extras = (0 until 3).map { j =>
+      val v = Array.fill(dim)(-1.0f)
+      java.util.Arrays.fill(v, 0, 8, 1.0f) // share band 0's sig
+      v(8 + j) = 1.0f // distinct band-1 sigs so extras stay un-paired
+      (100L + j, v.toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_capped_")
+    (identical ++ extras).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // threshold 0.99 scores out every extra pairing; only the identical
+    // group (cos_sim = 1.0) remains
+    val rows = Dedup.embeddingNearDupLsh(
+      spark, dir.toString, threshold = 0.99, maxBucket = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 10,
+      s"expected the 10 identical pairs exactly once each, got " +
+        s"${rows.length}: ${rows.toSeq.sorted.take(15)}")
+    assert(rows.toSet.size == 10, "duplicate pair emission")
+    // sanity: band 0 really was over the cap (8 > 6)
+    val uncapped = Dedup.embeddingNearDupLsh(
+      spark, dir.toString, threshold = 0.99, maxBucket = 1000).collect()
+    assert(uncapped.length == 10)
+  }
 }
