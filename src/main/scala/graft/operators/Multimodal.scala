@@ -239,15 +239,23 @@ object Multimodal {
     * expressed in basis points to stay exact. */
   def stubResizeBatch(batch: Array[MediaMeta], box: Int): Array[ResizePlan] =
     batch.map { m =>
-      // scale = box / max(w, h) in basis points, floor — never upscale
-      val scaleBp = math.min(10000L, 10000L * box / math.max(m.width, m.height))
-      ResizePlan(
-        doc_id = m.doc_id,
-        width = m.width,
-        height = m.height,
-        target_w = math.max(1, (m.width * scaleBp / 10000L).toInt),
-        target_h = math.max(1, (m.height * scaleBp / 10000L).toInt),
-        scale_pct = scaleBp.toInt)
+      // a failed decode arrives as a zero-geometry row (the
+      // imageDecodeBatch contract): forward it as a zero plan instead of
+      // dividing by max(0, 0) and killing the task — decode failure must
+      // stay a per-row signal all the way down the media pipeline
+      if (m.width <= 0 || m.height <= 0)
+        ResizePlan(m.doc_id, m.width, m.height, 0, 0, 0)
+      else {
+        // scale = box / max(w, h) in basis points, floor — never upscale
+        val scaleBp = math.min(10000L, 10000L * box / math.max(m.width, m.height))
+        ResizePlan(
+          doc_id = m.doc_id,
+          width = m.width,
+          height = m.height,
+          target_w = math.max(1, (m.width * scaleBp / 10000L).toInt),
+          target_h = math.max(1, (m.height * scaleBp / 10000L).toInt),
+          scale_pct = scaleBp.toInt)
+      }
     }
 
   /** `mm_resize` query: the resize stage of the media pipeline — batched,

@@ -343,6 +343,14 @@ object TextAnalysis {
     // reject the parameters up front like bm25 does
     require(overlap >= 0 && overlap < size,
       s"chunk overlap must be in [0, size): overlap=$overlap size=$size")
+    // the splitter manufactures these columns internally; a caller frame
+    // that already carries one would be silently clobbered by the
+    // withColumn/select below — fail loudly instead
+    val reserved = Seq("n", "n_chunks", "chunk_id", "c_start", "c_len", "chunk")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"chunkDocs: input columns ${reserved.mkString(", ")} collide with " +
+        "the splitter's internal/output columns")
     val step = size - overlap
     val pass = docs.columns.filterNot(_ == "text").map(col).toSeq
     docs

@@ -109,7 +109,12 @@ object TextStore {
     chunkWeights(Tables.documents(spark, sfDir).where(col("doc_id") < nDocs),
         Dim, ChunkSize, ChunkOverlap)
       .select(
-        (col("doc_id") * ChunkMod + col("chunk_id")).as("vec_id"),
+        // same overflow guard as chunkVectors: the graded transform and
+        // the production ingest path must fail identically, not diverge
+        // into silent vec_id collisions here
+        expr(s"CASE WHEN chunk_id < $ChunkMod THEN doc_id * $ChunkMod + chunk_id " +
+          s"ELSE raise_error('chunk_id overflows the $ChunkIdBits-bit vec_id scheme') END")
+          .cast("long").as("vec_id"),
         col("chunk_id").cast("int").as("label"),
         to_json(struct(col("doc_id"), col("chunk_id"), col("lang")))
           .as("metadata"),
@@ -216,6 +221,8 @@ object TextStore {
       .select(col("text")).collect().headOption
       .getOrElse(throw new IllegalArgumentException(
         s"chunkSearchIvf: queryDocId $queryDocId not found in $sfDir"))
+    require(!qRow.isNullAt(0),
+      s"chunkSearchIvf: document $queryDocId has NULL text")
     searchByText(spark, path, qRow.getString(0), k, nprobe,
       filter = Some(expr(s"vec_id div $ChunkMod <> $queryDocId")))
   }

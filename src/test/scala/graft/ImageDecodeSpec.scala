@@ -56,5 +56,13 @@ class ImageDecodeSpec extends SparkSpec {
       assert(m.width == 0 && m.height == 0 && m.frames == 0,
         s"junk payload decoded to ${m.width}x${m.height}")
     }
+    // and the zero-geometry row flows through the resize planner as a
+    // zero plan instead of a division-by-zero task crash
+    val plans = Multimodal.stubResizeBatch(got, 224)
+    assert(plans.length == 3)
+    plans.filter(_.doc_id <= 2L).foreach { p =>
+      assert(p.target_w == 0 && p.target_h == 0 && p.scale_pct == 0,
+        s"failed decode produced a non-zero resize plan: $p")
+    }
   }
 }
