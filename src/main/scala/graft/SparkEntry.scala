@@ -109,6 +109,7 @@ object SparkEntry {
     "knn_mmr_ivf" -> ((s, d) => VectorIndex.ivfMmrStore(s, d)),
     "knn_batch_ivf" -> ((s, d) => VectorIndex.batchIvfSearchStore(s, d)),
     "knn_batch_lsh" -> ((s, d) => VectorIndex.batchLshSearchStore(s, d)),
+    "knn_batch_pq" -> ((s, d) => VectorIndex.batchPqSearch(s, d)),
     "ann_eval" -> ((s, d) => VectorIndex.annEval(s, d)),
     "ann_eval_lsh" -> ((s, d) => VectorIndex.annEvalLsh(s, d)),
     "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
@@ -1726,6 +1727,36 @@ object SparkEntry {
           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
           |  FROM sc) WHERE rank <= 5
           |ORDER BY query_id, rank""".stripMargin),
+    // per-query generalization of the knn_pq replay: the trained-codebook
+    // chain is shared, each query contributes its own LUT, the per-query
+    // fetchK=100 ADC window replays the TopKAgg candidate heap, and the
+    // exact re-rank runs per (query, candidate)
+    "knn_batch_pq" ->
+      s"""WITH $pqModelCtes,
+         |qq AS (SELECT vec_id AS query_id, dim, q FROM eq WHERE vec_id < 5),
+         |lut AS (
+         |  SELECT q.query_id, c.dim // 8 AS sub, c.cid, CAST(sum(q.q * c.cq) AS BIGINT) AS ip
+         |  FROM pc5 c JOIN qq q USING (dim) GROUP BY 1, 2, 3),
+         |adc AS (
+         |  SELECT l.query_id, f.vec_id, CAST(sum(l.ip) AS BIGINT) AS adc
+         |  FROM pfa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
+         |  WHERE f.vec_id >= 5 GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+         |    FROM adc) WHERE rn <= 100),
+         |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings WHERE vec_id < 5),
+         |sc AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v), 4) AS score
+         |  FROM cand c JOIN embeddings e USING (vec_id) JOIN qv USING (query_id))
+         |SELECT query_id, vec_id, score, rank FROM (
+         |  SELECT query_id, vec_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+         |  FROM sc) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     // recall@k of the multi-probe LSH batch probe vs the exact batch scan
     "ann_eval_lsh" ->
       (s"WITH ${batchLshCtes},\n" +

@@ -1490,6 +1490,71 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** Batch kNN through the PQ codes — [[batchIvfSearchStore]]'s contract
+    * for the third index family, completing the batch surface (IVF and
+    * LSH have it; a production reranker sends queries in batches to every
+    * index kind). ONE codes scan serves every query: each query's integer
+    * ADC LUT (PqM · codebook-width fixed-point inner products, computed
+    * driver-side like the single-query path) rides a broadcast probe
+    * table, the per-query top-fetchK ADC candidates come from the TopKAgg
+    * k-slot-heap partial — fetchK rows per query cross the wire, never
+    * the corpus — and only the survivors pay the exact cosine re-rank.
+    * At 100 TB the scan still reads the 8-byte code column, and the work
+    * per corpus row is nQueries · 8 array lookups — no per-query rescan. */
+  def batchPqSearch(
+      spark: SparkSession,
+      sfDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      fetchK: Int = 100): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAgg.topkAgg
+    val cb = trainPqCodebooks(spark, sfDir)
+    val queries = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // per-query LUT flattened to lut[sub * width + code] so the row side
+    // is 8 element_at lookups regardless of query count; max ADC
+    // magnitude ~6e9 ≪ 2^53, so the double-typed heap ordinal is exact
+    val width = cb.map(_.length).max
+    val luts = queries.map { case (qid, qv) =>
+      val qq = qv.map(x => IndexOps.quantize(x.toDouble))
+      val flat = Array.tabulate(PqM * width) { i =>
+        val s = i / width
+        val c = i % width
+        if (c < cb(s).length)
+          (0 until PqSubDim).map(d =>
+            qq(s * PqSubDim + d) * IndexOps.quantize(cb(s)(c)(d).toDouble)).sum
+        else 0L
+      }
+      (qid, flat.toSeq, qv.toSeq)
+    }.toSeq
+    val probeDf = luts.toDF("query_id", "lut", "query_vec")
+    val adc = (0 until PqM).map(s =>
+      element_at(col("lut"),
+        lit(s * width) + element_at(col("codes"), lit(s + 1)) + lit(1)))
+      .reduce(_ + _)
+    val cand = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") >= nQueries)
+      .select(col("vec_id"), pqCodesCol(cb).as("codes"))
+      .join(broadcast(probeDf.select(col("query_id"), col("lut"))))
+      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+      .groupBy(col("query_id"))
+      .agg(topkAgg(-col("adc").cast("double"), col("vec_id"), fetchK).as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p.id").as("vec_id"))
+    val scored = Tables.embeddings(spark, sfDir)
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(probeDf.select(col("query_id"), col("query_vec"))),
+        "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("embedding"), col("query_vec")), 4).as("score"))
+    KnnSearch.perQueryTopK(scored, k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Random-hyperplane LSH bucketing: 16-bit signatures → bucket histogram
     * (the store-side structure for sub-linear cosine search). Map-only scan
     * + one small aggregation keyed by bucket. */

@@ -85,6 +85,21 @@ class PqSpec extends SparkSpec {
     assert(top(10).head == 9001L, "compaction preserves the codes column")
   }
 
+  test("batch PQ search equals the single-query path for a coinciding corpus") {
+    // nQueries=1 makes the two corpus exclusions identical (vec_id >= 1
+    // vs vec_id != 0), so batch-through-LUT-table must reproduce the
+    // single-query pipeline's rows exactly, in rank order
+    val batch = VectorIndex.batchPqSearch(spark, sfDir, nQueries = 1,
+      k = 5, fetchK = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val single = VectorIndex.pqSearch(spark, sfDir, k = 5, fetchK = 100,
+      queryVecId = 0L).collect()
+      .zipWithIndex
+      .map { case (r, i) => (0L, r.getLong(0), r.getDouble(3), i + 1) }
+    assert(batch.toSeq == single.toSeq,
+      s"batch=${batch.toSeq} single=${single.toSeq}")
+  }
+
   test("ADC equals the integer dot against the quantized reconstruction") {
     val cb = VectorIndex.trainPqCodebooks(spark, sfDir)
     val cbQ = cb.map(_.map(_.map(f => IndexOps.quantize(f.toDouble))))
