@@ -112,6 +112,7 @@ object SparkEntry {
     "knn_batch_pq" -> ((s, d) => VectorIndex.batchPqSearch(s, d)),
     "ann_eval" -> ((s, d) => VectorIndex.annEval(s, d)),
     "ann_eval_lsh" -> ((s, d) => VectorIndex.annEvalLsh(s, d)),
+    "ann_eval_pq" -> ((s, d) => VectorIndex.annEvalPq(s, d)),
     "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
     "lsh_search" -> ((s, d) => VectorIndex.lshSearchStore(s, d)),
     "lsh_filtered_json" -> ((s, d) => {
@@ -451,6 +452,32 @@ object SparkEntry {
       |  JOIN embeddings e ON e.vec_id = f.vec_id
       |  JOIN embeddings q ON q.vec_id = p.query_id
       |  WHERE e.vec_id >= 5)""".stripMargin
+
+  /** Shared CTE chain for the batch-PQ oracles (appended after
+    * [[pqModelCtes]]): per-query LUTs against the trained codebooks, the
+    * per-query fetchK=100 ADC window, and the exact re-rank — ends in the
+    * same `sc` (query_id, vec_id, score) shape as [[batchIvfCtes]] /
+    * [[batchLshCtes]] so the top-k and recall heads compose identically. */
+  private val batchPqCtes: String =
+    """qq AS (SELECT vec_id AS query_id, dim, q FROM eq WHERE vec_id < 5),
+      |lut AS (
+      |  SELECT q.query_id, c.dim // 8 AS sub, c.cid, CAST(sum(q.q * c.cq) AS BIGINT) AS ip
+      |  FROM pc5 c JOIN qq q USING (dim) GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT l.query_id, f.vec_id, CAST(sum(l.ip) AS BIGINT) AS adc
+      |  FROM pfa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
+      |  WHERE f.vec_id >= 5 GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+      |    FROM adc) WHERE rn <= 100),
+      |qvb AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+      |       FROM embeddings WHERE vec_id < 5),
+      |sc AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qvb.v), 4) AS score
+      |  FROM cand c JOIN embeddings e USING (vec_id) JOIN qvb USING (query_id))""".stripMargin
 
   /** Shared CTE chain for the PQ oracles: the same fixed-point Lloyd
     * replay as [[ivfModelCtes]] with the subspace id (`dim // 8`) added to
@@ -1732,31 +1759,42 @@ object SparkEntry {
     // fetchK=100 ADC window replays the TopKAgg candidate heap, and the
     // exact re-rank runs per (query, candidate)
     "knn_batch_pq" ->
-      s"""WITH $pqModelCtes,
-         |qq AS (SELECT vec_id AS query_id, dim, q FROM eq WHERE vec_id < 5),
-         |lut AS (
-         |  SELECT q.query_id, c.dim // 8 AS sub, c.cid, CAST(sum(q.q * c.cq) AS BIGINT) AS ip
-         |  FROM pc5 c JOIN qq q USING (dim) GROUP BY 1, 2, 3),
-         |adc AS (
-         |  SELECT l.query_id, f.vec_id, CAST(sum(l.ip) AS BIGINT) AS adc
-         |  FROM pfa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
-         |  WHERE f.vec_id >= 5 GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT query_id, vec_id,
-         |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
-         |    FROM adc) WHERE rn <= 100),
-         |qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
-         |       FROM embeddings WHERE vec_id < 5),
-         |sc AS (
-         |  SELECT c.query_id, c.vec_id,
-         |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v), 4) AS score
-         |  FROM cand c JOIN embeddings e USING (vec_id) JOIN qv USING (query_id))
-         |SELECT query_id, vec_id, score, rank FROM (
-         |  SELECT query_id, vec_id, score,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
-         |  FROM sc) WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+      (s"WITH $pqModelCtes,\n" + batchPqCtes + "\n" +
+        """SELECT query_id, vec_id, score, rank FROM (
+          |  SELECT query_id, vec_id, score,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+          |  FROM sc) WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin),
+    // recall@k of the ADC-ranked PQ batch probe vs the exact batch scan —
+    // the codebook-fit health check, completing the eval surface across
+    // all three index families
+    "ann_eval_pq" ->
+      (s"WITH $pqModelCtes,\n" + batchPqCtes + ",\n" +
+        """ap AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          |    FROM sc) WHERE rn <= 5),
+          |ex AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          |    FROM (
+          |      SELECT q.vec_id AS query_id, e.vec_id,
+          |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
+          |      FROM embeddings e CROSS JOIN embeddings q
+          |      WHERE q.vec_id < 5 AND e.vec_id >= 5))
+          |  WHERE rn <= 5),
+          |h AS (
+          |  SELECT ex.query_id, count(*) AS n_hit
+          |  FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1),
+          |pqr AS (
+          |  SELECT q.query_id, coalesce(h.n_hit, 0) / 5.0 AS recall
+          |  FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id))
+          |SELECT count(*) AS n_queries, 5 AS k,
+          |  FLOOR(avg(recall) * 10000 + 0.5) / 10000.0 AS mean_recall,
+          |  FLOOR(min(recall) * 10000 + 0.5) / 10000.0 AS min_recall
+          |FROM pqr""".stripMargin),
     // recall@k of the multi-probe LSH batch probe vs the exact batch scan
     "ann_eval_lsh" ->
       (s"WITH ${batchLshCtes},\n" +

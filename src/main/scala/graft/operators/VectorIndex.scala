@@ -1082,6 +1082,37 @@ object VectorIndex {
       TextAnalysis.round4(min(col("recall"))).as("min_recall"))
   }
 
+  /** Index-health eval for the PQ family — [[annEval]]'s measurement for
+    * the third index kind: recall@k of the ADC-ranked batch probe
+    * ([[batchPqSearch]]) vs the exact batch scan. PQ loses recall through
+    * quantization error rather than through pruning (every vector IS
+    * scanned, as 8 codes), so this query tracks codebook fit: a corpus
+    * drifting away from the trained centroids degrades ADC ranking
+    * silently until re-training, and this is the check that catches it. */
+  def annEvalPq(
+      spark: SparkSession,
+      sfDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      fetchK: Int = 100): DataFrame = {
+    val exact = KnnSearch.batchTopK(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = batchPqSearch(spark, sfDir, nQueries, k, fetchK)
+      .select(col("query_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val perQuery = exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      lit(k).as("k"),
+      TextAnalysis.round4(avg(col("recall"))).as("mean_recall"),
+      TextAnalysis.round4(min(col("recall"))).as("min_recall"))
+  }
+
   /** IVF-PQ search through the materialized store — the classic pairing
     * (Jégou et al., TPAMI'11) the quantized-index family is built on:
     * the coarse quantizer prunes WHICH partitions are read (nprobe/k of
