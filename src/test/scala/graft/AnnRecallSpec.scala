@@ -50,4 +50,13 @@ class AnnRecallSpec extends SparkSpec {
     info(f"knn_pq recall@10 = $r%.2f (m=8 subspaces, 16 codes, fetchK=100)")
     assert(r >= 0.9, s"pq recall regressed: $r")
   }
+
+  test("batch PQ eval holds its mean-recall floor (codebook-fit check)") {
+    // deterministic by construction (fixed-point training, exact integer
+    // ADC): 1.0/1.0 on this corpus, floored with headroom like the others
+    val row = VectorIndex.annEvalPq(spark, sfDir).collect().head
+    val (mean, min) = (row.getDouble(2), row.getDouble(3))
+    info(f"ann_eval_pq mean=$mean%.2f min=$min%.2f @ sf0.001")
+    assert(mean >= 0.9, s"pq batch mean recall regressed: $mean")
+  }
 }
