@@ -95,4 +95,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"),
       s"shard offsets should broadcast back onto the triples:\n$plan")
   }
+
+  test("batch PQ: LUT probe table broadcasts, corpus never cartesian-joins") {
+    // the per-query LUT join is keyless (every row scores against every
+    // query) but the probe side is nQueries rows — it must plan as a
+    // broadcast nested-loop over the tiny side, never as a shuffled
+    // cartesian of the corpus, and the codes scan must happen once
+    val plan = executedPlan(VectorIndex.batchPqSearch(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the LUT probe table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"batch PQ gained a shuffled cartesian:\n$plan")
+  }
 }
