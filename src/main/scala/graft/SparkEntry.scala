@@ -110,6 +110,7 @@ object SparkEntry {
     "knn_batch_ivf" -> ((s, d) => VectorIndex.batchIvfSearchStore(s, d)),
     "knn_batch_lsh" -> ((s, d) => VectorIndex.batchLshSearchStore(s, d)),
     "knn_batch_pq" -> ((s, d) => VectorIndex.batchPqSearch(s, d)),
+    "knn_batch_ivf_pq" -> ((s, d) => VectorIndex.batchIvfPqSearchStore(s, d)),
     "ann_eval" -> ((s, d) => VectorIndex.annEval(s, d)),
     "ann_eval_lsh" -> ((s, d) => VectorIndex.annEvalLsh(s, d)),
     "ann_eval_pq" -> ((s, d) => VectorIndex.annEvalPq(s, d)),
@@ -1761,6 +1762,49 @@ object SparkEntry {
     "knn_batch_pq" ->
       (s"WITH $pqModelCtes,\n" + batchPqCtes + "\n" +
         """SELECT query_id, vec_id, score, rank FROM (
+          |  SELECT query_id, vec_id, score,
+          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+          |  FROM sc) WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin),
+    // batch IVF-PQ through the store's persisted codes: the unprefixed
+    // chain trains the coarse centroids (per-query probe sets + the
+    // store's partition assignment `fa`), the p-prefixed chain trains the
+    // subspace codebooks (the store's codes column `pfa`); per-query ADC
+    // runs only over vectors whose partition is in the query's probe set,
+    // then the per-query fetchK=50 window and the exact re-rank
+    "knn_batch_ivf_pq" ->
+      (s"WITH $ivfModelCtes,\n" + pqIterCtes("p") + ",\n" +
+        """qd AS (
+          |  SELECT e.vec_id AS query_id, c.cid, sum((c.cq - e.q) * (c.cq - e.q)) AS dd
+          |  FROM eq e JOIN c5 c USING (dim)
+          |  WHERE e.vec_id < 5 GROUP BY 1, 2),
+          |qprobes AS (
+          |  SELECT query_id, cid FROM (
+          |    SELECT query_id, cid,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY dd, cid) AS rn
+          |    FROM qd) WHERE rn <= 4),
+          |qq AS (SELECT vec_id AS query_id, dim, q FROM eq WHERE vec_id < 5),
+          |lut AS (
+          |  SELECT q.query_id, c.dim // 8 AS sub, c.cid, CAST(sum(q.q * c.cq) AS BIGINT) AS ip
+          |  FROM pc5 c JOIN qq q USING (dim) GROUP BY 1, 2, 3),
+          |adc AS (
+          |  SELECT l.query_id, f.vec_id, CAST(sum(l.ip) AS BIGINT) AS adc
+          |  FROM pfa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
+          |  JOIN fa iv ON iv.vec_id = f.vec_id
+          |  JOIN qprobes p ON p.query_id = l.query_id AND p.cid = iv.cid
+          |  WHERE f.vec_id >= 5 GROUP BY 1, 2),
+          |cand AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+          |    FROM adc) WHERE rn <= 50),
+          |qvb AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+          |       FROM embeddings WHERE vec_id < 5),
+          |sc AS (
+          |  SELECT c.query_id, c.vec_id,
+          |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qvb.v), 4) AS score
+          |  FROM cand c JOIN embeddings e USING (vec_id) JOIN qvb USING (query_id))
+          |SELECT query_id, vec_id, score, rank FROM (
           |  SELECT query_id, vec_id, score,
           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
           |  FROM sc) WHERE rank <= 5

@@ -1495,9 +1495,14 @@ object VectorIndex {
     * is engine-independent by construction), the corpus scan sums 8 LUT
     * lookups per vector (map-only, no shuffle) → top-fetchK by (adc,
     * vec_id) → exact cosine re-rank of the survivors via a broadcast
-    * candidate join. At 100 TB the phase-1 scan reads the 8-byte code
-    * column instead of the 256-byte embedding — the 32× IO cut is the
-    * point of PQ. */
+    * candidate join.
+    *
+    * This is the labeled INLINE variant: codes are recomputed from the
+    * embedding column at query time, so phase 1 here still reads the full
+    * embedding — the ADC arithmetic is exercised, but not PQ's 32× IO
+    * cut. The store-backed paths ([[ivfPqSearchStoreAt]] single-query,
+    * [[batchIvfPqSearchStore]] batch) read the persisted `codes` column
+    * and are what a 100 TB deployment runs. */
   def pqSearch(
       spark: SparkSession,
       sfDir: String,
@@ -1530,8 +1535,14 @@ object VectorIndex {
     * table, the per-query top-fetchK ADC candidates come from the TopKAgg
     * k-slot-heap partial — fetchK rows per query cross the wire, never
     * the corpus — and only the survivors pay the exact cosine re-rank.
-    * At 100 TB the scan still reads the 8-byte code column, and the work
-    * per corpus row is nQueries · 8 array lookups — no per-query rescan. */
+    * The work per corpus row is nQueries · 8 array lookups — no per-query
+    * rescan.
+    *
+    * Like [[pqSearch]], this is the labeled INLINE variant: codes are
+    * recomputed from the embedding column inside the scan, so its
+    * phase 1 reads full embeddings. [[batchIvfPqSearchStore]] is the
+    * store-backed twin that reads the persisted `codes` column under
+    * partition pruning — the plan a 100 TB reranker runs. */
   def batchPqSearch(
       spark: SparkSession,
       sfDir: String,
@@ -1579,6 +1590,116 @@ object VectorIndex {
       .join(broadcast(cand), "vec_id")
       .join(broadcast(probeDf.select(col("query_id"), col("query_vec"))),
         "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions.cosineSim(
+          col("embedding"), col("query_vec")), 4).as("score"))
+    KnnSearch.perQueryTopK(scored, k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Batch kNN through the STORE's persisted PQ codes — the full IVF-PQ
+    * composition for a query batch, closing the gap between
+    * [[batchPqSearch]] (inline code recompute: the ADC arithmetic without
+    * the IO cut) and the reference's `index_enabled` contract (the STORE
+    * answers queries, not the raw table; langchain_ydb's indexed search
+    * path). Phase 1 scans ONLY the probed partitions — file-index pruning
+    * at the union of every query's nprobe set, like
+    * [[batchIvfSearchStore]] — and ONLY the (vec_id, centroid_id, codes)
+    * projection: the 8-byte code column written at build time and
+    * maintained by every CRUD path, never the 256-byte embedding
+    * (spec-pinned via ReadSchema). At 100 TB that is the partition cut ×
+    * the ~32× payload cut that is PQ's reason to exist. Each pruned row
+    * joins only the queries probing its partition via a broadcast
+    * (query_id, centroid, flat-LUT) probe table, per-query top-fetchK ADC
+    * candidates via the TopKAgg k-slot-heap partial; phase 2 re-ranks the
+    * survivors exactly through the shared resolved probe + a broadcast
+    * candidate join — fetchK rows per query cross the wire, the corpus
+    * never shuffles. */
+  def batchIvfPqSearchStore(
+      spark: SparkSession,
+      sfDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 4,
+      fetchK: Int = 50): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKAgg.topkAgg
+    val path = ensureStore(spark, sfDir)
+    require(hasPqModel(spark, path),
+      s"store at $path has no PQ codes (built before PQ support, or an " +
+        "LSH store) — rebuild with writeStore or use batchIvfSearchStore")
+    val cb = readPqModel(spark, path)
+    val centroids = readModel(spark, path, IvfLayout)
+    val queries = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // flat per-query LUT (lut[sub * width + code]), same shape as
+    // batchPqSearch: 8 element_at lookups per row regardless of query
+    // count; integer fixed-point, so ADC ranking is engine-independent
+    val width = cb.map(_.length).max
+    def flatLut(qv: Array[Float]): Seq[Long] = {
+      val qq = qv.map(x => IndexOps.quantize(x.toDouble))
+      Array.tabulate(PqM * width) { i =>
+        val s = i / width
+        val c = i % width
+        if (c < cb(s).length)
+          (0 until PqSubDim).map(d =>
+            qq(s * PqSubDim + d) * IndexOps.quantize(cb(s)(c)(d).toDouble)).sum
+        else 0L
+      }.toSeq
+    }
+    val probePairs = queries.flatMap { case (qid, qv) =>
+      val lutF = flatLut(qv)
+      nearestCentroidIds(centroids, qv, nprobe).map(cid => (qid, cid, lutF))
+    }.toSeq
+    val allProbes = probePairs.map(_._2).distinct
+    val probeDf = probePairs.toDF("query_id", "p_cid", "lut")
+    // phase 1: pruned scan of the codes projection — the embedding column
+    // is never read here (ReadSchema pin in PqSpec). Delta rows prune on
+    // the partition id as a data column, same as resolvedPartitions.
+    val baseAll = spark.read.parquet(s"$path/vectors")
+    val prunedBase = baseAll.where(IvfLayout.prunePred(allProbes))
+    val pruned =
+      if (hasDelta(spark, path))
+        prunedBase.unionByName(
+          deltaFrame(spark, path, baseAll.schema)
+            .where(col("centroid_id").isin(allProbes: _*)))
+      else prunedBase
+    val phase1 =
+      if (isSingleGen(spark, path))
+        pruned.where(!col("deleted"))
+          .select(col("vec_id"), col("centroid_id"), col("codes"))
+      else
+        pruned
+          .groupBy(col("vec_id"))
+          .agg(max_by(
+            struct(col("codes"), col("centroid_id"), col("deleted")),
+            struct(col("gen"), !col("deleted"))).as("v"))
+          .where(!col("v.deleted"))
+          .select(col("vec_id"), col("v.centroid_id").as("centroid_id"),
+            col("v.codes").as("codes"))
+    val adc = (0 until PqM).map(s =>
+      element_at(col("lut"),
+        lit(s * width) + element_at(col("codes"), lit(s + 1)) + lit(1)))
+      .reduce(_ + _)
+    val cand = phase1
+      .where(col("vec_id") >= nQueries)
+      .join(broadcast(probeDf), col("centroid_id") === col("p_cid"))
+      .select(col("query_id"), col("vec_id"), adc.as("adc"))
+      .groupBy(col("query_id"))
+      .agg(topkAgg(-col("adc").cast("double"), col("vec_id"), fetchK).as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p.id").as("vec_id"))
+    // phase 2: exact cosine re-rank of the survivors only, over the same
+    // resolved probed partitions (this scan legitimately reads embeddings
+    // — of the pruned subset, joined down to fetchK rows per query)
+    val qvDf = queries.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toSeq.toDF("query_id", "query_vec")
+    val scored = resolvedPartitions(spark, path, IvfLayout, allProbes,
+      Some(col("vec_id") >= nQueries))
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(qvDf), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(graft.functions.VectorFunctions.cosineSim(
           col("embedding"), col("query_vec")), 4).as("score"))

@@ -100,6 +100,47 @@ class PqSpec extends SparkSpec {
       s"batch=${batch.toSeq} single=${single.toSeq}")
   }
 
+  test("batch ivf-pq: phase-1 reads codes not embeddings, prunes partitions") {
+    val res = VectorIndex.batchIvfPqSearchStore(spark, sfDir)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      "phase-1 must prune the coarse partitions at the file index")
+    // the batch ADC scan's projection must exclude the embedding column —
+    // same pin as the single-query store path: the payload cut is the
+    // point of the persisted codes. The re-rank scan reads embeddings.
+    val scanLines = plan.linesIterator
+      .filter(_.contains("FileScan parquet")).toSeq
+    val adcScan = scanLines.find(_.contains("codes"))
+    assert(adcScan.isDefined, "an ADC FileScan over the codes column exists")
+    assert(!adcScan.get.contains("embedding"),
+      "the batch ADC scan must not read the embedding column")
+  }
+
+  test("batch ivf-pq at full probe equals the inline batch PQ search") {
+    // nprobe = K probes every partition, so the store-backed path covers
+    // the same candidate universe as the inline codes recompute — results
+    // must coincide row for row (the stored codes ARE pqCodesCol's values)
+    val store = VectorIndex.batchIvfPqSearchStore(spark, sfDir,
+      nprobe = 16, fetchK = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val inline = VectorIndex.batchPqSearch(spark, sfDir, fetchK = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(store.toSeq == inline.toSeq)
+  }
+
+  test("batch ivf-pq equals the single-query store path for a coinciding corpus") {
+    // nQueries=1 makes the exclusions identical (vec_id >= 1 vs != 0)
+    val batch = VectorIndex.batchIvfPqSearchStore(spark, sfDir,
+      nQueries = 1, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val single = VectorIndex.ivfPqSearchStore(spark, sfDir, k = 5)
+      .collect().zipWithIndex
+      .map { case (r, i) => (0L, r.getLong(0), r.getDouble(3), i + 1) }
+    assert(batch.toSeq == single.toSeq,
+      s"batch=${batch.toSeq} single=${single.toSeq}")
+  }
+
   test("ADC equals the integer dot against the quantized reconstruction") {
     val cb = VectorIndex.trainPqCodebooks(spark, sfDir)
     val cbQ = cb.map(_.map(_.map(f => IndexOps.quantize(f.toDouble))))
