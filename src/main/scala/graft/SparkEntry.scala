@@ -1589,8 +1589,13 @@ object SparkEntry {
     "dedup_minhash_lsh" -> {
       // the SplitMix64-derived permutation constants inlined as a VALUES
       // table — the oracle replays the exact signature stream (a_j·x + b_j
-      // mod 2^61-1 in HUGEINT), banding fold, the maxDf 1000 bucket cap,
-      // and the k/128 agreement estimate, bit for bit
+      // mod 2^61-1 in HUGEINT), the banding fold INCLUDING the 2^20 domain
+      // mod (r9: the bound that makes band-ownership emission collectable
+      // on the Spark side — replayed here exactly like the permutation
+      // constants), the maxDf 1000 bucket cap, and the k/128 agreement
+      // estimate, bit for bit. The DISTINCT-over-alive-bands formulation
+      // below IS the ownership contract: lowest-alive-band emission yields
+      // exactly the set of pairs co-bucketed in ≥1 surviving band.
       val permValues = graft.functions.MinHash.perms
         .map { case (j, a, b) => s"($j, $a, $b)" }
         .mkString(", ")
@@ -1624,7 +1629,7 @@ object SparkEntry {
          |  SELECT doc_id, band,
          |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
          |        sig[CAST(band * 4 + 1 AS INTEGER):CAST(band * 4 + 4 AS INTEGER)]),
-         |      (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS bh
+         |      (acc, x) -> (acc * 31 + x) % 1000000007) % 1048576 AS BIGINT) AS bh
          |  FROM sigs, (SELECT unnest(range(32)) AS band)),
          |bucket AS (
          |  SELECT band, bh FROM bands GROUP BY band, bh

@@ -19,14 +19,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long (legacy knob) and convert to a
-    * timestamp via integer division to micros — exact, no double rounding. */
+  /** `events.parquet` has shipped `ts` in two physical layouts across
+    * driver generations: TIMESTAMP(NANOS) — which Spark's parquet reader
+    * rejects, so it's read as a nanos long (legacy knob) and converted via
+    * integer division to micros (exact, no double rounding) — and, since
+    * the round-9 regeneration, plain TIMESTAMP(MICROS), which lands as
+    * TIMESTAMP_NTZ. Sniff the landed type so both layouts read, and
+    * normalize to the TIMESTAMP_LTZ every consumer (unix_micros, the
+    * streaming Timestamp encoders) expects — value-identical to the NTZ
+    * wall time because every entry point pins the session timezone to
+    * UTC, matching the DuckDB oracle's naive read. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -96,6 +96,21 @@ class PlanShapeSpec extends SparkSpec {
       s"shard offsets should broadcast back onto the triples:\n$plan")
   }
 
+  test("minhash pair emission carries no global pair-dedupe exchange") {
+    // r9 (VERDICT r7 item 3): band-ownership emission makes pairs globally
+    // unique at the source, so the plan must not contain the old
+    // distinct() — an aggregate (re-)grouping the pair multiset on
+    // (doc_a, doc_b). The only aggregates allowed are the (band,
+    // band_hash) bucket groupings; a regression would still pass the
+    // value oracle (distinct-ness is preserved either way) while
+    // re-introducing a shuffle whose volume scales with the duplicated
+    // candidate multiset.
+    val plan = executedPlan(graft.operators.Dedup.minhashLsh(spark, sfDir))
+    assert(!"Aggregate\\(keys=\\[doc_a".r.findFirstIn(plan).isDefined &&
+      !"Aggregate\\(keys=\\[.*doc_b".r.findFirstIn(plan).isDefined,
+      s"pair-dedupe aggregate reappeared:\n$plan")
+  }
+
   test("batch PQ: LUT probe table broadcasts, corpus never cartesian-joins") {
     // the per-query LUT join is keyless (every row scores against every
     // query) but the probe side is nQueries rows — it must plan as a

@@ -272,6 +272,58 @@ class TextDedupSpec extends SparkSpec {
         s"only-exp=${(expected -- got).toSeq.sortBy(_._1).take(5)}")
   }
 
+  test("minhash pairs survive a capped lowest band and are emitted exactly once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A 9-doc identical group (text T1) pushes ALL its band buckets over
+    // maxDf=8, so every group pair's bucket is dead. A twin pair (two
+    // copies of a one-token mutation of T1) matches the group's band hash
+    // in SOME bands (those buckets are dead too: df = 11) and differs in
+    // others (df = 2, alive). The mutation is CHOSEN — from the Spark-
+    // computed band hashes themselves — so that band 0 collides with the
+    // group: the twins' lowest matching band (band 0: twins are identical,
+    // every band matches) is then dead, and the ownership emission must
+    // fall through to the first ALIVE band. Expected output: exactly the
+    // twin pair, exactly once — group pairs (all bands dead) and
+    // group×twin pairs (their matching bands are exactly the collision
+    // buckets, all dead) are unrecoverable by construction.
+    val baseToks = (0 until 60).map(i => s"tok${i * 7 % 97}w$i")
+    val t1 = baseToks.mkString(" ")
+    def mutated(p: Int) = baseToks.updated(p, s"mut$p").mkString(" ")
+    // candidate mutations, one doc each, plus T1 as doc 0 — one banding
+    // run picks the position whose hash vector collides with T1's at band
+    // 0 but differs somewhere later
+    val candDir = java.nio.file.Files.createTempDirectory("graft_mh_cand_")
+    ((0L, t1) +: (5 until 55).map(p => (p.toLong, mutated(p))))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$candDir/documents.parquet")
+    val bhs = Dedup.bandHashes(Dedup.minhashSigs(spark, candDir.toString), 32, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val t1Bhs = bhs(0L)
+    val pStar = (5 until 55).find { p =>
+      val v = bhs(p.toLong)
+      v(0) == t1Bhs(0) && v.indices.exists(j => v(j) != t1Bhs(j))
+    }
+    assert(pStar.nonEmpty,
+      "no mutation collides with the group at band 0 — rechoose base text")
+    val twinText = mutated(pStar.get)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_capped_")
+    ((0L until 9L).map(i => (i, t1)) ++ Seq((100L, twinText), (101L, twinText)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.minhashLsh(spark, dir.toString, maxDf = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((100L, 101L)),
+      s"expected exactly the twin pair once, got: ${rows.toSeq.sorted}")
+    // sanity: uncapped, the 36 group pairs and the twin pair all surface
+    val uncapped = Dedup.minhashLsh(spark, dir.toString, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == uncapped.toSeq.length)
+    assert((0L until 9L).combinations(2).forall(c => uncapped((c(0), c(1)))),
+      s"uncapped run must contain all group pairs, got ${uncapped.size}")
+    assert(uncapped((100L, 101L)))
+  }
+
   test("LSH pairs survive a capped lowest band and are emitted exactly once") {
     import spark.implicits._
     // 5 identical all-positive vectors: their sigs match in all 8 bands,
