@@ -127,6 +127,7 @@ object SparkEntry {
     "mm_resize_real" -> ((s, d) => Multimodal.resizeReal(s, d)),
     "mm_dedup" -> ((s, d) => Multimodal.contentDedup(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frames(s, d)),
+    "mm_frames_real" -> ((s, d) => Multimodal.framesReal(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
     // --- composed pipeline ---
     "pipeline_clean" -> ((s, d) => CleanCorpus.clean(s, d)),
@@ -181,6 +182,7 @@ object SparkEntry {
     "mm_resize_real" -> Seq("doc_id"),
     "mm_dedup" -> Seq("doc_id"),
     "mm_frames" -> Seq("doc_id", "frame_idx"),
+    "mm_frames_real" -> Seq("doc_id", "frame_idx"),
     "mm_resize" -> Seq("doc_id"),
     "pipeline_clean" -> Seq("doc_id"),
   )
@@ -2120,6 +2122,23 @@ object SparkEntry {
         |    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |      1 + octet_length(encode(text)) % 30 AS frames
         |    FROM documents),
+        |    (SELECT unnest(range(4)) AS j))
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // mm_frames_real's oracle predicts the frame count, the uniform
+    // sample indices, and the per-frame raster geometry of the
+    // in-pipeline-encoded ANIMATED GIFs from doc_id arithmetic: a hash
+    // match means the real javax.imageio reader parsed every container's
+    // frame directory (getNumImages) and each sampled frame's raster
+    // (decode failure yields a zero-geometry row -> mismatch).
+    "mm_frames_real" ->
+      """SELECT doc_id, CAST(n_frames AS INTEGER) AS n_frames,
+        |  CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(12 + (doc_id % 11) * 2 AS INTEGER) AS width,
+        |  CAST(8 + (doc_id % 5) * 3 AS INTEGER) AS height
+        |FROM (
+        |  SELECT DISTINCT doc_id, n_frames, (j * n_frames) // 4 AS frame_idx
+        |  FROM (
+        |    SELECT doc_id, 1 + doc_id % 7 AS n_frames FROM documents),
         |    (SELECT unnest(range(4)) AS j))
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_resize" ->

@@ -161,6 +161,121 @@ object Multimodal {
       .toDF()
   }
 
+  /** One decoded-and-sampled frame of a multi-frame container: the frame
+    * count the reader reported, the sampled index, and the frame's TRUE
+    * raster geometry (what [[gifFramesBatch]] actually parsed). */
+  case class FrameMeta(
+      doc_id: Long, n_frames: Int, frame_idx: Int, width: Int, height: Int)
+
+  /** Deterministic real animated-GIF encoder (`javax.imageio`'s sequence
+    * writer — zero extra dependencies): `nFrames` full-size frames whose
+    * pixel fill varies per frame so no encoder can collapse the sequence
+    * to one stored raster. Shared by [[gifMediaTable]] and the specs. */
+  def encodeAnimatedGif(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            data(y * w + x) = (x * 31 + y * 17 + f * 101) & 0xffffff
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** REAL multi-frame decoder + frame sampler over the batch seam:
+    * `javax.imageio`'s reader API reads the container's true frame count
+    * (`getNumImages`) and each sampled frame's raster (`read(i)`) — the
+    * multi-frame analog of [[imageDecodeBatch]]. The sampling contract is
+    * IDENTICAL to [[stubFrameBatch]]: up to `k` uniform indices
+    * `floor(j·frames/k)`, deduplicated for short clips. Decode failure
+    * (unreadable container, truncated frame) emits one zero-geometry row
+    * — the same per-row failure signal as the whole media pipeline. */
+  def gifFramesBatch(batch: Array[MediaRecord], k: Int): Array[FrameMeta] =
+    batch.flatMap { r =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq(FrameMeta(r.doc_id, 0, 0, 0, 0))
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until k).map(j => j * n / k).distinct.map { idx =>
+                val img = reader.read(idx)
+                FrameMeta(r.doc_id, n, idx, img.getWidth, img.getHeight)
+              }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch {
+        // NonFatal for the same reason as imageDecodeBatch: plugin reader
+        // SPIs throw RuntimeExceptions on corrupt bytes
+        case scala.util.control.NonFatal(_) =>
+          Seq(FrameMeta(r.doc_id, 0, 0, 0, 0))
+      }
+    }
+
+  /** REAL-bytes multi-frame media table: every document gets an actual
+    * animated GIF encoded in-pipeline — frame count AND geometry derived
+    * from `doc_id` by arithmetic the oracle replays (the [[realMediaTable]]
+    * construction extended to the time axis). Same codec-seam repartition:
+    * the input is an 8-byte id, the work is a real multi-frame encode. */
+  def gifMediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val w = 12 + (id % 11).toInt * 2
+        val h = 8 + (id % 5).toInt * 3
+        val nf = 1 + (id % 7).toInt
+        MediaRecord(id, encodeAnimatedGif(w, h, nf))
+      })
+  }
+
+  /** `mm_frames_real` query: frame sampling through a REAL multi-frame
+    * decode — animated GIF containers born in-pipeline, frame count and
+    * per-frame geometry read back by the actual `javax.imageio` reader.
+    * The oracle predicts (n_frames, sampled indices, geometry) from
+    * doc_id arithmetic, so a hash match proves the reader parsed every
+    * container's frame directory and rasters; a decode failure's
+    * zero-geometry row breaks the hash. Sampling contract identical to
+    * [[frames]]. */
+  def framesReal(spark: SparkSession, sfDir: String, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    gifMediaTable(spark, sfDir)
+      .mapPartitions { it =>
+        it.grouped(DecodeBatchSize).flatMap(g => gifFramesBatch(g.toArray, k))
+      }
+      .toDF()
+  }
+
   /** The binary ingest table: documents' text bytes standing in for media
     * payloads. */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {

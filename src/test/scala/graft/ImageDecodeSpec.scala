@@ -43,6 +43,52 @@ class ImageDecodeSpec extends SparkSpec {
     }
   }
 
+  test("animated GIFs decode to their true frame count and per-frame geometry") {
+    import spark.implicits._
+    // frame counts straddle the k=4 sampling boundary (1-frame stills,
+    // exactly-4, and 7-frame clips where sampling is a strict subset);
+    // sizes vary so geometry is per-container, not a constant
+    val specs = (0 until 40).map { i =>
+      (i.toLong, 12 + (i % 11) * 2, 8 + (i % 5) * 3, 1 + i % 7)
+    }
+    val records = specs.map { case (id, w, h, nf) =>
+      MediaRecord(id, Multimodal.encodeAnimatedGif(w, h, nf))
+    }
+    val ds = spark.createDataset(records).repartition(3)
+    val got = ds.mapPartitions(it =>
+        it.grouped(Multimodal.DecodeBatchSize)
+          .flatMap(g => Multimodal.gifFramesBatch(g.toArray, 4)))
+      .collect().groupBy(_.doc_id)
+    specs.foreach { case (id, w, h, nf) =>
+      val rows = got(id).sortBy(_.frame_idx)
+      // the sampling contract is stubFrameBatch's: floor(j·n/k), distinct
+      val expectedIdx = (0 until 4).map(j => j * nf / 4).distinct
+      assert(rows.map(_.frame_idx).toSeq == expectedIdx,
+        s"doc $id: sampled ${rows.map(_.frame_idx).toSeq}, expected $expectedIdx")
+      rows.foreach { fm =>
+        assert(fm.n_frames == nf, s"doc $id: reader saw ${fm.n_frames} frames, wrote $nf")
+        assert(fm.width == w && fm.height == h,
+          s"doc $id frame ${fm.frame_idx}: ${fm.width}x${fm.height}, wrote ${w}x$h")
+      }
+    }
+  }
+
+  test("corrupt multi-frame bytes yield one zero-geometry row") {
+    val junk = Array(
+      MediaRecord(1L, Array[Byte](71, 73, 70, 56, 57, 97, 1, 2)), // "GIF89a" + garbage
+      MediaRecord(2L, "definitely not a gif".getBytes("UTF-8")),
+      MediaRecord(3L, Multimodal.encodeAnimatedGif(10, 8, 3)))
+    val got = Multimodal.gifFramesBatch(junk, 4)
+    val byDoc = got.groupBy(_.doc_id)
+    Seq(1L, 2L).foreach { id =>
+      assert(byDoc(id).length == 1, s"doc $id: ${byDoc(id).toSeq}")
+      val m = byDoc(id).head
+      assert(m.n_frames == 0 && m.width == 0 && m.height == 0,
+        s"junk container decoded to $m")
+    }
+    assert(byDoc(3L).forall(m => m.n_frames == 3 && m.width == 10 && m.height == 8))
+  }
+
   test("corrupt bytes yield a zero-geometry row, not a task failure") {
     import spark.implicits._
     val junk = Seq(
