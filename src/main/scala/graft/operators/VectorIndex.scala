@@ -129,6 +129,95 @@ object VectorIndex {
     centroids
   }
 
+  /** Fused corpus-model trainer: ONE sampled cache, ONE seed collect, and
+    * ONE scan per iteration train BOTH the IVF centroids and all [[PqM]]
+    * PQ codebooks. [[trainLloyd]] and [[trainPq]] each run `count + seed
+    * collect + Iters` sequential driver-blocking jobs over the same
+    * sample — on this host's ~0.5 s job floor that tower, not data
+    * volume, was the measured bulk of `ivf_build`'s lifecycle cost
+    * (VERDICT r7 item 5). The fused per-iteration aggregate groups by the
+    * joint (ivf_cid, sub, pq_cid, dim) key (≤ K·PqM·K·PqSubDim = 16k
+    * partial rows) and the driver marginalizes: the IVF sums ignore
+    * (sub, pq_cid), the PQ sums ignore ivf_cid. Integer sums re-associate
+    * freely over a partition of the same rows, so the trained models are
+    * BIT-IDENTICAL to the separate trainers' (LloydDeterminismSpec pins
+    * it) and every IVF/PQ oracle replay is untouched. */
+  private[graft] def trainLloydPqFused(
+      embIn: DataFrame, maxTrain: Int = MaxTrain)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val emb = trainingSample(
+      embIn.select(col("vec_id"), col("embedding")), maxTrain)
+    emb.cache()
+    try {
+      val seedRows = emb.orderBy(col("vec_id")).limit(K).collect()
+        .map(_.getSeq[Float](1).toArray)
+      var centroids: Array[Array[Float]] = seedRows
+      var cb: Array[Array[Array[Long]]] = Array.tabulate(PqM)(s =>
+        seedRows.map(r => Array.tabulate(PqSubDim)(d =>
+          IndexOps.quantize(r(s * PqSubDim + d).toDouble))))
+      val dims = centroids(0).length
+      for (_ <- 1 to Iters) {
+        val sums = emb
+          .select(
+            IndexFunctions.nearestCentroid(col("embedding"), centroids)
+              .getField("centroid_id").as("ivf_cid"),
+            pqCodesCol(deQuantize(cb)).as("codes"),
+            posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("ivf_cid"),
+            expr(s"cast(dim div $PqSubDim as int)").as("sub"),
+            element_at(col("codes"),
+              expr(s"cast(dim div $PqSubDim as int) + 1")).as("pq_cid"),
+            col("dim"),
+            floor(col("v").cast("double") * IndexOps.QScale + 0.5)
+              .cast("long").as("q"))
+          .groupBy(col("ivf_cid"), col("sub"), col("pq_cid"), col("dim"))
+          .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val ivfS = Array.ofDim[Long](centroids.length, dims)
+        val ivfN = Array.ofDim[Long](centroids.length, dims)
+        val pqS = Array.ofDim[Long](PqM, K, PqSubDim)
+        val pqN = Array.ofDim[Long](PqM, K, PqSubDim)
+        sums.foreach { r =>
+          val (ivfCid, sub, pqCid, dim) =
+            (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+          val (s, n) = (r.getLong(4), r.getLong(5))
+          ivfS(ivfCid)(dim) += s; ivfN(ivfCid)(dim) += n
+          val d = dim - sub * PqSubDim
+          pqS(sub)(pqCid)(d) += s; pqN(sub)(pqCid)(d) += n
+        }
+        val nextC = centroids.map(_.clone())
+        for (c <- ivfS.indices; d <- 0 until dims if ivfN(c)(d) > 0) {
+          val cq = Math.floorDiv(2L * ivfS(c)(d) + ivfN(c)(d), 2L * ivfN(c)(d))
+          nextC(c)(d) = (cq.toDouble / IndexOps.QScale).toFloat
+        }
+        centroids = nextC
+        val nextCb = cb.map(_.map(_.clone()))
+        for (s <- 0 until PqM; c <- cb(s).indices; d <- 0 until PqSubDim
+             if pqN(s)(c)(d) > 0)
+          nextCb(s)(c)(d) =
+            Math.floorDiv(2L * pqS(s)(c)(d) + pqN(s)(c)(d), 2L * pqN(s)(c)(d))
+        cb = nextCb
+      }
+      (centroids, deQuantize(cb))
+    } finally emb.unpersist()
+  }
+
+  /** Warm BOTH corpus model caches through the fused trainer when neither
+    * is populated — the store-build path trains centroids AND codebooks,
+    * and paying two separate job towers for one build is the measured
+    * `ivf_build` floor. Falls through to the cached getters either way. */
+  private def trainedCorpusModels(
+      spark: SparkSession, sfDir: String)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    if (!centroidCache.containsKey(sfDir) && !pqCache.containsKey(sfDir)) {
+      val (c, cb) = trainLloydPqFused(Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")))
+      centroidCache.putIfAbsent(sfDir, c)
+      pqCache.putIfAbsent(sfDir, cb)
+    }
+    (trainCentroids(spark, sfDir), trainPqCodebooks(spark, sfDir))
+  }
+
   /** MLlib trainer for the same IVF geometry — "MLlib for batch indexing":
     * `ml.clustering.KMeans` (k-means||, fixed seed) trains the centroid
     * matrix as a batch job; the trained centers then drive the SAME
@@ -464,9 +553,14 @@ object VectorIndex {
     * search into a partition-pruned read of nprobe/k of the corpus. */
   def writeStore(
       spark: SparkSession, sfDir: String, path: String,
-      trained: Option[Array[Array[Float]]] = None): Unit =
+      trained: Option[Array[Array[Float]]] = None): Unit = {
+    // the IVF build needs centroids AND PQ codebooks (writeStoreAt
+    // persists codes): warm both caches through the fused single-tower
+    // trainer instead of paying two sequential job towers
+    if (trained.isEmpty) trainedCorpusModels(spark, sfDir): Unit
     writeStoreAt(spark, sfDir, path, IvfLayout,
       trained.getOrElse(trainCentroids(spark, sfDir)))
+  }
 
   /** Materialize the LSH store: vectors written `partitionBy(bucket)` (the
     * hyperplane-sign bucket) plus the plane matrix as a side-table, so a

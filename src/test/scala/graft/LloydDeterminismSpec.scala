@@ -27,6 +27,22 @@ class LloydDeterminismSpec extends SparkSpec {
     assert(flat(base) == flat(single))
   }
 
+  test("fused IVF+PQ training is bit-identical to the separate trainers") {
+    // the r9 ivf_build fusion: one scan per iteration computes the joint
+    // (ivf_cid, sub, pq_cid, dim) partial sums and the driver
+    // marginalizes — integer sums re-associated over a partition of the
+    // same rows MUST reproduce both models exactly, or every IVF/PQ
+    // oracle replay would silently break
+    val (fusedC, fusedCb) = VectorIndex.trainLloydPqFused(emb)
+    val sepC = VectorIndex.trainLloyd(emb)
+    val sepCb = VectorIndex.trainPq(emb)
+    assert(flat(fusedC) == flat(sepC),
+      "fused centroids diverged from trainLloyd")
+    assert(fusedCb.map(_.map(_.toSeq).toSeq).toSeq ==
+      sepCb.map(_.map(_.toSeq).toSeq).toSeq,
+      "fused PQ codebooks diverged from trainPq")
+  }
+
   test("sampled training equals training on the explicit sample slice") {
     // force the cap below the corpus size so the vec_id-hash sample
     // actually engages (at the default MaxTrain every test SF is under
