@@ -30,15 +30,24 @@ object Tables {
     * wall time because every entry point pins the session timezone to
     * UTC, matching the DuckDB oracle's naive read. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      // TIMESTAMP(NANOS) read as nanos-long under the legacy knob — the
+      // only way a Long lands here, since no generation ships a plain
+      // int64 ts; an exact integer conversion, no double rounding
+      case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts DIV 1000)"))
-      case _ =>
+      case TimestampNTZType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case TimestampType => raw
+      // anything else is a layout this reader has never seen: fail loudly
+      // instead of casting into silent nulls or misscaled timestamps
+      case other => throw new IllegalStateException(
+        s"events.ts landed as unexpected type $other in $d")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -83,20 +83,31 @@ object Multimodal {
     * degenerate constant plane. Shared by [[realMediaTable]] and
     * ImageDecodeSpec so the graded path and the spec exercise the same
     * bytes-producing function. */
-  def encodeImage(w: Int, h: Int, format: String): Array[Byte] = {
+  /** The shared raster fill: per-coordinate varying pixels (+ a per-frame
+    * offset for animated containers) through the backing int buffer —
+    * same stored values as per-pixel setRGB on TYPE_INT_RGB, without its
+    * per-call colormodel conversion (the measured encode hotspot at 50k
+    * images/sweep). One implementation for both the still and the
+    * multi-frame encoder so the fill contract cannot diverge. */
+  private def filledImage(w: Int, h: Int, frame: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    // fill through the backing int buffer: same stored values as
-    // per-pixel setRGB on TYPE_INT_RGB, without its per-call colormodel
-    // conversion (the measured encode hotspot at 50k images/sweep)
     val data = img.getRaster.getDataBuffer
       .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { data(y * w + x) = (x * 31 + y * 17) & 0xffffff; x += 1 }
+      while (x < w) {
+        data(y * w + x) = (x * 31 + y * 17 + frame * 101) & 0xffffff
+        x += 1
+      }
       y += 1
     }
+    img
+  }
+
+  def encodeImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = filledImage(w, h, frame = 0)
     val out = new java.io.ByteArrayOutputStream()
     if (!javax.imageio.ImageIO.write(img, format, out))
       throw new IllegalStateException(s"no $format image writer in this JRE")
@@ -180,21 +191,8 @@ object Multimodal {
       writer.prepareWriteSequence(null)
       var f = 0
       while (f < nFrames) {
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val data = img.getRaster.getDataBuffer
-          .asInstanceOf[java.awt.image.DataBufferInt].getData
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            data(y * w + x) = (x * 31 + y * 17 + f * 101) & 0xffffff
-            x += 1
-          }
-          y += 1
-        }
         writer.writeToSequence(
-          new javax.imageio.IIOImage(img, null, null), null)
+          new javax.imageio.IIOImage(filledImage(w, h, f), null, null), null)
         f += 1
       }
       writer.endWriteSequence()

@@ -205,7 +205,10 @@ object VectorIndex {
   /** Warm BOTH corpus model caches through the fused trainer when neither
     * is populated — the store-build path trains centroids AND codebooks,
     * and paying two separate job towers for one build is the measured
-    * `ivf_build` floor. Falls through to the cached getters either way. */
+    * `ivf_build` floor. Falls through to the cached getters either way;
+    * with exactly ONE model already cached the separate tower for the
+    * other is cost-neutral vs re-running the fused trainer (one tower of
+    * jobs either way), so no special case is needed. */
   private def trainedCorpusModels(
       spark: SparkSession, sfDir: String)
       : (Array[Array[Float]], Array[Array[Array[Float]]]) = {

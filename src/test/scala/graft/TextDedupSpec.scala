@@ -315,10 +315,13 @@ class TextDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(rows.toSeq == Seq((100L, 101L)),
       s"expected exactly the twin pair once, got: ${rows.toSeq.sorted}")
-    // sanity: uncapped, the 36 group pairs and the twin pair all surface
-    val uncapped = Dedup.minhashLsh(spark, dir.toString, maxDf = 1000)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(uncapped.size == uncapped.toSeq.length)
+    // sanity: uncapped, the 36 group pairs and the twin pair all surface,
+    // each exactly once (duplicate-emission check BEFORE the toSet dedupe)
+    val uncappedRows = Dedup.minhashLsh(spark, dir.toString, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(uncappedRows.length == uncappedRows.distinct.length,
+      s"duplicate pair emission: ${uncappedRows.diff(uncappedRows.distinct)}")
+    val uncapped = uncappedRows.toSet
     assert((0L until 9L).combinations(2).forall(c => uncapped((c(0), c(1)))),
       s"uncapped run must contain all group pairs, got ${uncapped.size}")
     assert(uncapped((100L, 101L)))
