@@ -96,6 +96,26 @@ class PlanShapeSpec extends SparkSpec {
       s"shard offsets should broadcast back onto the triples:\n$plan")
   }
 
+  test("shared pair-table consumers read the materialized table, not a rebuild") {
+    // r9: the scored sign-LSH candidate frame and the jaccard pair frame
+    // materialize once per (corpus, params) and feed every consumer. A
+    // regression to inline re-derivation would pass the value oracles
+    // (same rows) while re-running the banding/bucketing pipeline per
+    // query — pin that the consumer plans contain no source-table scan.
+    val lsh = executedPlan(
+      graft.operators.Dedup.embeddingNearDupLsh(spark, sfDir))
+    assert(!lsh.contains("embeddings.parquet"),
+      s"embeddingNearDupLsh rebuilt the candidate pipeline inline:\n$lsh")
+    assert(!lsh.contains("Exchange"),
+      s"threshold tail over the pair table must be scan+filter only:\n$lsh")
+    val graph = executedPlan(graft.operators.Dedup.knnGraph(spark, sfDir))
+    assert(!graph.contains("embeddings.parquet"),
+      s"knnGraph rebuilt the candidate pipeline inline:\n$graph")
+    val jac = executedPlan(graft.operators.Dedup.ngramJaccard(spark, sfDir))
+    assert(!jac.contains("documents.parquet") && !jac.contains("collect_list"),
+      s"ngramJaccard rebuilt the shingle/bucketing pipeline inline:\n$jac")
+  }
+
   test("minhash pair emission carries no global pair-dedupe exchange") {
     // r9 (VERDICT r7 item 3): band-ownership emission makes pairs globally
     // unique at the source, so the plan must not contain the old
