@@ -293,11 +293,17 @@ object TextAnalysis {
       .select(size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
         .cast("long").as("nt"))
       .agg(sum(col("nt")).as("n_total"))
-    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(nTotal)) // 1-row aggregate — bounded by design
-      .select(col("token"),
-        floor(log(col("n") / col("n_total")) * 10000 + lit(0.5))
-          .cast("long").as("logq"))
+    // the unigram table is per-corpus MODEL state (like the trained
+    // centroids and the pair tables): materialize it once per corpus so
+    // warm calls pay one scoring scan, not the vocab aggregate + the
+    // n_total pass per call (r9, same keyed session-temp pattern)
+    val vocab = Dedup.materialized(
+      toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(nTotal)) // 1-row aggregate — bounded by design
+        .select(col("token"),
+          floor(log(col("n") / col("n_total")) * 10000 + lit(0.5))
+            .cast("long").as("logq")),
+      s"unigram|$sfDir")
     toks.join(vocab, "token")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("logq")).as("sum_logq"))
