@@ -105,6 +105,26 @@ class TextDedupSpec extends SparkSpec {
     assert(approx.subsetOf(exact), s"unverified pairs: ${approx.diff(exact)}")
   }
 
+  test("materialized tables honor spark.graft.scratchDir") {
+    import spark.implicits._
+    // on a cluster the session-temp tables must land on a SHARED
+    // filesystem (executors read each other's writes) — pin that the
+    // scratch-root conf is honored when set
+    val scratch = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scratch_corpus_")
+    (0L until 20L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta eta token$i end"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.scratchDir", scratch.toString)
+    try {
+      Dedup.minhashSigs(spark, dir.toString).count()
+      val entries = new java.io.File(scratch.toString).list()
+      assert(entries != null && entries.exists(_.startsWith("graft_sigtable_")),
+        s"sig table not under the scratch root: ${Option(entries).map(_.toSeq)}")
+    } finally spark.conf.unset("spark.graft.scratchDir")
+  }
+
   test("exact dedup keeps every distinct normalized text once") {
     val kept = Dedup.exact(spark, sfDir).collect()
     assert(kept.map(_.getString(1)).distinct.length == kept.length)
