@@ -76,6 +76,20 @@ object MinHash {
       j += 1
     }
   }
+
+  /** Count of equal positions between two signatures (the agreement
+    * numerator of the Jaccard estimate); evaluated over the shorter
+    * length if they ever differ. */
+  def agreement(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
 }
 
 /** poly_combine(hashes, n): rolling n-gram combination of element hashes —
@@ -180,12 +194,36 @@ case class MinHashSigHashes(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** sig_agreement(sig_a, sig_b): the number of equal positions of two
+  * equal-length long arrays — the MinHash agreement count behind the
+  * unbiased Jaccard estimate. A native codegen'd single pass replacing
+  * the interpreted 128-element zip_with/filter lambda chain in the
+  * candidate verification (the same HOF→expression upgrade that took
+  * knn_cosine_norm from 7.2 to 0.4 s in r5; higher-order functions do
+  * not participate in whole-stage codegen). */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "sig_agreement"
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHash.agreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.MinHash.agreement($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashFunctions {
   import Bridge.{col, expr}
   def minhashSig(x: Column): Column = col(MinHashSig(expr(x)))
   def minhashSigHashes(x: Column): Column = col(MinHashSigHashes(expr(x)))
   def polyCombine(x: Column, n: Int): Column = col(PolyCombine(expr(x), n))
   def simhash64(x: Column): Column = col(SimHash64(expr(x)))
+  def sigAgreement(a: Column, b: Column): Column =
+    col(SigAgreement(expr(a), expr(b)))
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.register(spark, "minhash_sig", es => MinHashSig(es.head))
     Bridge.register(spark, "simhash64", es => SimHash64(es.head))

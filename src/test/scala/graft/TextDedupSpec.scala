@@ -41,6 +41,16 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("sig_agreement matches a naive equal-position count") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = Array.iterate(5L, 128)(x => x * 6364136223846793005L + 11L)
+    val b = a.zipWithIndex.map { case (v, i) => if (i % 3 == 0) v else v + 1 }
+    val got = graft.functions.MinHash.agreement(
+      new GenericArrayData(a), new GenericArrayData(b))
+    assert(got == a.indices.count(i => a(i) == b(i)))
+    assert(got == (0 until 128).count(_ % 3 == 0))
+  }
+
   test("hashing featurize matches a naive per-slot reference") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val dim = 64
