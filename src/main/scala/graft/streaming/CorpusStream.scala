@@ -32,4 +32,23 @@ object CorpusStream {
       spark.readStream
         .schema(docSchema)
         .json(dir))
+
+  /** Streaming NEAR-dup gate (r9): flag incoming documents that are
+    * MinHash near-copies of the EXISTING corpus at `sfDir` — the batch
+    * [[graft.operators.Dedup.nearDupGate]] over a streaming source.
+    * Every stage is stateless (map-only signing, stream-static
+    * band-bucket join with lowest-matching-band exactly-once emission,
+    * static verify join), so the query runs in append mode with NO
+    * streaming state: the corpus tables are the only working set,
+    * built once per session. */
+  def nearDupGate(
+      spark: SparkSession,
+      sfDir: String,
+      streamDir: String,
+      minEstimate: Double = 0.5): DataFrame =
+    graft.operators.Dedup.nearDupGate(
+      spark.readStream
+        .schema(docSchema)
+        .json(streamDir),
+      spark, sfDir, minEstimate = minEstimate)
 }

@@ -33,4 +33,49 @@ class CorpusStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming near-dup gate matches the batch gate, stateless, across micro-batches") {
+    import spark.implicits._
+    // incoming mix: exact copies of corpus documents under NEW ids (must
+    // flag at est 1.0), plus clearly novel documents (must not flag)
+    val corpusTexts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(8)
+    val incoming =
+      corpusTexts.zipWithIndex.map { case ((_, t), i) => (900000L + i, t) } ++
+        (0 until 5).map(i =>
+          (950000L + i, s"qqwzx$i entirely novel payload nothing shared " +
+            s"with corpus zebra$i quark$i flux$i jolt$i vex$i nymph$i"))
+    val incomingDf = incoming.toSeq.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("neardup_stream").toString
+    incomingDf.repartition(3).write.mode("overwrite").json(dir)
+
+    val q = CorpusStream.nearDupGate(spark, sfDir, dir)
+      .writeStream
+      .format("memory")
+      .queryName("neardup_gate_spec")
+      .outputMode("append") // stateless: no aggregation, no watermark
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("neardup_gate_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly-once emission must hold without any stateful dedupe
+    assert(streamed.length == streamed.distinct.length,
+      s"duplicate gate emission: ${streamed.diff(streamed.distinct).toSeq}")
+    val batch = Dedup.nearDupGate(incomingDf, spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.length == batch.distinct.length)
+    assert(streamed.toSet == batch.toSet,
+      s"stream/batch divergence: ${streamed.toSet.diff(batch.toSet).take(5)} / " +
+        s"${batch.toSet.diff(streamed.toSet).take(5)}")
+    // the exact copies are flagged against their source at est 1.0
+    corpusTexts.zipWithIndex.foreach { case ((srcId, _), i) =>
+      assert(streamed.exists(e => e._1 == 900000L + i && e._2 == srcId && e._3 == 1.0),
+        s"copy of corpus doc $srcId not flagged")
+    }
+    // novel documents never flag
+    assert(!streamed.exists(_._1 >= 950000L), "novel doc wrongly flagged")
+  }
 }
