@@ -85,6 +85,16 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "corpus_neardup_gate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      // incoming = a deterministic id-shifted corpus slice (the
+      // ingest-time shape with a replayable oracle); the streaming twin
+      // runs the SAME implementation over a readStream source
+      val incoming = graft.Tables.documents(s, d)
+        .where(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+      Dedup.nearDupGate(incoming, s, d)
+    }),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusterAssign(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
@@ -168,6 +178,7 @@ object SparkEntry {
     "dedup_exact" -> Seq("keep_id"),
     "dedup_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "dedup_minhash_lsh" -> Seq("doc_a", "doc_b"),
+    "corpus_neardup_gate" -> Seq("doc_id", "corpus_doc_id"),
     "dedup_simhash" -> Seq("doc_a", "doc_b"),
     "dedup_clusters" -> Seq("doc_id"),
     "dedup_keep_best" -> Seq("doc_id"),
@@ -220,6 +231,51 @@ object SparkEntry {
     * `extraFilter` composes the metadata predicate (the store's metadata
     * column is built from `documents`, so `d.lang` is the same value
     * get_json_object reads on the Spark side). */
+  /** Shared CTE chain replaying the MinHash signature + banding pipeline:
+    * the SplitMix64-derived permutation constants as a VALUES table, the
+    * Mersenne-61 token/shingle folds, the 128-permutation signature, and
+    * the per-band polynomial fold INCLUDING the 2^20 ownership-domain mod
+    * (r9). Ends with `sigs(doc_id, sig)` and `bands(doc_id, band, bh)`;
+    * consumers (dedup_minhash_lsh, corpus_neardup_gate) append their
+    * candidate + verification tail. */
+  private def minhashSigCtes: String = {
+    val permValues = graft.functions.MinHash.perms
+      .map { case (j, a, b) => s"($j, $a, $b)" }
+      .mkString(", ")
+    s"""perms(j, a, b) AS (VALUES $permValues),
+       |ts AS (
+       |  SELECT doc_id, string_split_regex(
+       |    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), ' ') AS s
+       |  FROM documents
+       |  WHERE len(string_split_regex(
+       |    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), ' ')) >= 5),
+       |th AS (
+       |  SELECT doc_id, [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+       |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS HUGEINT)
+       |    FOR t IN s] AS hs
+       |  FROM ts),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([
+       |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |        hs[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)]),
+       |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT)
+       |    FOR i IN range(1, len(hs) - 3)]) AS shingles
+       |  FROM th),
+       |sx AS (SELECT doc_id, unnest(shingles) AS shv FROM sh),
+       |sigv AS (
+       |  SELECT doc_id, j,
+       |    min(CAST((CAST(a AS HUGEINT) * shv + b) % 2305843009213693951 AS BIGINT)) AS v
+       |  FROM sx, perms GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM sigv GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, band,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |        sig[CAST(band * 4 + 1 AS INTEGER):CAST(band * 4 + 4 AS INTEGER)]),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) % 1048576 AS BIGINT) AS bh
+       |  FROM sigs, (SELECT unnest(range(32)) AS band))""".stripMargin
+  }
+
   /** Shared CTE chain replaying the near-dup cluster construction: 5-gram
     * shingles → capped candidate pairs → Jaccard >= 0.8 edges → recursive
     * transitive closure (`reach`). Used by dedup_clusters and
@@ -1598,41 +1654,7 @@ object SparkEntry {
       // estimate, bit for bit. The DISTINCT-over-alive-bands formulation
       // below IS the ownership contract: lowest-alive-band emission yields
       // exactly the set of pairs co-bucketed in ≥1 surviving band.
-      val permValues = graft.functions.MinHash.perms
-        .map { case (j, a, b) => s"($j, $a, $b)" }
-        .mkString(", ")
-      s"""WITH perms(j, a, b) AS (VALUES $permValues),
-         |ts AS (
-         |  SELECT doc_id, string_split_regex(
-         |    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), ' ') AS s
-         |  FROM documents
-         |  WHERE len(string_split_regex(
-         |    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), ' ')) >= 5),
-         |th AS (
-         |  SELECT doc_id, [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
-         |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS HUGEINT)
-         |    FOR t IN s] AS hs
-         |  FROM ts),
-         |sh AS (
-         |  SELECT doc_id, list_distinct([
-         |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |        hs[CAST(i AS INTEGER):CAST(i + 4 AS INTEGER)]),
-         |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT)
-         |    FOR i IN range(1, len(hs) - 3)]) AS shingles
-         |  FROM th),
-         |sx AS (SELECT doc_id, unnest(shingles) AS shv FROM sh),
-         |sigv AS (
-         |  SELECT doc_id, j,
-         |    min(CAST((CAST(a AS HUGEINT) * shv + b) % 2305843009213693951 AS BIGINT)) AS v
-         |  FROM sx, perms GROUP BY 1, 2),
-         |sigs AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM sigv GROUP BY 1),
-         |bands AS (
-         |  SELECT doc_id, band,
-         |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
-         |        sig[CAST(band * 4 + 1 AS INTEGER):CAST(band * 4 + 4 AS INTEGER)]),
-         |      (acc, x) -> (acc * 31 + x) % 1000000007) % 1048576 AS BIGINT) AS bh
-         |  FROM sigs, (SELECT unnest(range(32)) AS band)),
+      s"""WITH $minhashSigCtes,
          |bucket AS (
          |  SELECT band, bh FROM bands GROUP BY band, bh
          |  HAVING count(*) BETWEEN 2 AND 1000),
@@ -1653,6 +1675,33 @@ object SparkEntry {
          |  / 128.0 >= 0.5
          |ORDER BY p.doc_a, p.doc_b""".stripMargin
     },
+    // the streaming/batch near-dup GATE as a graded query: incoming = a
+    // deterministic id-shifted slice of the corpus (doc_id % 10 = 3,
+    // re-identified +900000), flagged against the full corpus. The
+    // oracle derives the incoming side's signatures by id-shift from the
+    // shared sig chain (same text -> same sig, by the determinism the
+    // whole minhash family rests on); the gate has no bucket cap, so
+    // Spark's lowest-matching-band exactly-once emission equals the
+    // DISTINCT over all co-bucketed pairs.
+    "corpus_neardup_gate" ->
+      s"""WITH $minhashSigCtes,
+         |incb AS (
+         |  SELECT doc_id + 900000 AS doc_id, band, bh
+         |  FROM bands WHERE doc_id % 10 = 3),
+         |gpairs AS (
+         |  SELECT DISTINCT i.doc_id, b.doc_id AS corpus_doc_id
+         |  FROM incb i JOIN bands b USING (band, bh))
+         |SELECT p.doc_id, p.corpus_doc_id,
+         |  FLOOR(len(list_filter(range(128),
+         |      i -> sa.sig[CAST(i + 1 AS INTEGER)] = sb.sig[CAST(i + 1 AS INTEGER)]))
+         |    / 128.0 * 10000 + 0.5) / 10000.0 AS est_jaccard
+         |FROM gpairs p
+         |JOIN sigs sa ON sa.doc_id = p.doc_id - 900000
+         |JOIN sigs sb ON sb.doc_id = p.corpus_doc_id
+         |WHERE len(list_filter(range(128),
+         |    i -> sa.sig[CAST(i + 1 AS INTEGER)] = sb.sig[CAST(i + 1 AS INTEGER)]))
+         |  / 128.0 >= 0.5
+         |ORDER BY p.doc_id, p.corpus_doc_id""".stripMargin,
     // connected components over the ngram-jaccard near-dup graph: the
     // oracle computes the exact transitive closure (recursive CTE over the
     // symmetric edge list) and takes min-reachable-id per node — the same
