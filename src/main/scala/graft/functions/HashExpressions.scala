@@ -201,6 +201,29 @@ case class MinHashSigHashes(child: Expression)
   * candidate verification (the same HOF→expression upgrade that took
   * knn_cosine_norm from 7.2 to 0.4 s in r5; higher-order functions do
   * not participate in whole-stage codegen). */
+/** Membership of a long key in a SORTED bounded key set riding the plan
+  * as a reference object — the over-cap dead-bucket sets of
+  * [[graft.operators.Dedup.minhashLsh]] and the near-dup ingest gate.
+  * Binary search per call: O(log |keys|) against the O(|keys|) per-element
+  * scan of `array_contains` over a `typedLit` array, on a path evaluated
+  * once per prefix element per band row (degenerate corpora admit
+  * thousands of dead keys). The keys never appear as SQL text, so plan
+  * size stays constant in |keys| (same rationale as the typedLit object
+  * it replaces). */
+case class InSortedLongSet(child: Expression, keys: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "in_sorted_long_set"
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    java.util.Arrays.binarySearch(keys, v.asInstanceOf[Long]) >= 0
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("sortedKeys", keys, "long[]")
+    defineCodeGen(ctx, ev, c => s"java.util.Arrays.binarySearch($k, $c) >= 0")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class SigAgreement(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
   override def prettyName: String = "sig_agreement"
@@ -224,6 +247,9 @@ object HashFunctions {
   def simhash64(x: Column): Column = col(SimHash64(expr(x)))
   def sigAgreement(a: Column, b: Column): Column =
     col(SigAgreement(expr(a), expr(b)))
+  /** `keys` MUST be sorted ascending (callers sort once at collect time). */
+  def inSortedLongSet(x: Column, keys: Array[Long]): Column =
+    col(InSortedLongSet(expr(x), keys))
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.register(spark, "minhash_sig", es => MinHashSig(es.head))
     Bridge.register(spark, "simhash64", es => SimHash64(es.head))

@@ -40,15 +40,19 @@ object CorpusStream {
     * band-bucket join with lowest-matching-band exactly-once emission,
     * static verify join), so the query runs in append mode with NO
     * streaming state: the corpus tables are the only working set,
-    * built once per session. */
+    * built once per session. `maxDf` caps degenerate corpus band buckets
+    * (see the batch scaladoc) — on the live ingest path an uncapped
+    * constant bucket would fan every incoming doc out to O(bucket)
+    * candidate rows per micro-batch. */
   def nearDupGate(
       spark: SparkSession,
       sfDir: String,
       streamDir: String,
-      minEstimate: Double = 0.5): DataFrame =
+      minEstimate: Double = 0.5,
+      maxDf: Int = 1000): DataFrame =
     graft.operators.Dedup.nearDupGate(
       spark.readStream
         .schema(docSchema)
         .json(streamDir),
-      spark, sfDir, minEstimate = minEstimate)
+      spark, sfDir, minEstimate = minEstimate, maxDf = maxDf)
 }

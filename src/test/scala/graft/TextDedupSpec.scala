@@ -357,6 +357,72 @@ class TextDedupSpec extends SparkSpec {
     assert(uncapped((100L, 101L)))
   }
 
+  test("gate corpus band table is narrow: (corpus_doc_id, band, band_hash, pre)") {
+    // the r9 gate shipped the full 32-int band-hash vector on every
+    // exploded corpus row (32× redundant payload on the static table every
+    // micro-batch joins); this pins the r10 narrow layout — prefix only,
+    // never `bhs`, never a signature — and the alive mask only under caps
+    val bhs = Dedup.bandHashes(Dedup.minhashSigs(spark, sfDir), 32, 4)
+    val uncapped = Dedup.corpusBandTable(bhs, Array.emptyLongArray, 1 << 20)
+    assert(uncapped.columns.toSeq ==
+      Seq("corpus_doc_id", "band", "band_hash", "pre"),
+      s"band table widened: ${uncapped.columns.toSeq}")
+    val capped = Dedup.corpusBandTable(bhs, Array(0L), 1 << 20)
+    assert(capped.columns.toSeq ==
+      Seq("corpus_doc_id", "band", "band_hash", "pre", "alive"),
+      s"capped band table layout: ${capped.columns.toSeq}")
+  }
+
+  test("gate flags survive a capped lowest band, exactly once") {
+    import spark.implicits._
+    // same construction as the minhash capped test: a 9-doc identical
+    // group (T1) kills its band buckets at maxDf=8; the corpus also holds
+    // two twin docs (one-token mutation of T1) whose band 0 collides with
+    // the group. An incoming COPY of the twin text matches the corpus
+    // twins in all 32 bands, but its lowest matching band (0) is dead —
+    // the gate must fall through to the first alive band and flag each
+    // corpus twin exactly once at est 1.0. Incoming×group matches live
+    // only in the dead collision buckets, so the capped gate cannot flag
+    // the group — and must not flag anything twice.
+    val baseToks = (0 until 60).map(i => s"tok${i * 7 % 97}w$i")
+    val t1 = baseToks.mkString(" ")
+    def mutated(p: Int) = baseToks.updated(p, s"mut$p").mkString(" ")
+    val candDir = java.nio.file.Files.createTempDirectory("graft_gate_cand_")
+    ((0L, t1) +: (5 until 55).map(p => (p.toLong, mutated(p))))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$candDir/documents.parquet")
+    val bhs = Dedup.bandHashes(Dedup.minhashSigs(spark, candDir.toString), 32, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val t1Bhs = bhs(0L)
+    val pStar = (5 until 55).find { p =>
+      val v = bhs(p.toLong)
+      v(0) == t1Bhs(0) && v.indices.exists(j => v(j) != t1Bhs(j))
+    }
+    assert(pStar.nonEmpty,
+      "no mutation collides with the group at band 0 — rechoose base text")
+    val twinText = mutated(pStar.get)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_capped_")
+    ((0L until 9L).map(i => (i, t1)) ++ Seq((100L, twinText), (101L, twinText)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val incoming = Seq((900000L, twinText)).toDF("doc_id", "text")
+    val flags = Dedup.nearDupGate(incoming, spark, dir.toString, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(flags.length == flags.distinct.length,
+      s"duplicate gate emission: ${flags.diff(flags.distinct)}")
+    assert(flags.toSet == Set((900000L, 100L, 1.0), (900000L, 101L, 1.0)),
+      s"capped gate flags: ${flags.sorted}")
+    // uncapped: the same twin flags survive (band 0 owns them), still
+    // exactly once; group matches may now surface too if they verify
+    val unflags = Dedup.nearDupGate(
+      incoming, spark, dir.toString, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(unflags.length == unflags.distinct.length,
+      s"duplicate uncapped gate emission: ${unflags.diff(unflags.distinct)}")
+    assert(Set((900000L, 100L, 1.0), (900000L, 101L, 1.0)).subsetOf(unflags.toSet),
+      s"uncapped gate flags: ${unflags.sorted}")
+  }
+
   test("LSH pairs survive a capped lowest band and are emitted exactly once") {
     import spark.implicits._
     // 5 identical all-positive vectors: their sigs match in all 8 bands,
