@@ -41,6 +41,16 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts DIV 1000)"))
       case TimestampNTZType =>
+        // the NTZ→LTZ cast interprets the wall time in the SESSION
+        // timezone — value-identical to the naive reading only under
+        // UTC. Every graft entry point pins UTC, but a library caller
+        // building their own session might not: fail loudly like the
+        // unknown-layout branch below, never shift wall times silently.
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        if (tz != "UTC") throw new IllegalStateException(
+          s"events.ts is TIMESTAMP_NTZ: reading it requires " +
+            s"spark.sql.session.timeZone=UTC (got '$tz') — " +
+            "see GraftSession for the pinned session configuration")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case TimestampType => raw

@@ -11,6 +11,22 @@ import org.apache.spark.sql.expressions.Window
   * resolve to the larger event_id. */
 class AsofJoinSpec extends SparkSpec {
 
+  test("NTZ events read fails loudly under a non-UTC session timezone") {
+    // the NTZ→LTZ cast is value-identical to the naive wall time ONLY
+    // under UTC; a library caller with an unpinned session must get the
+    // loud layout error, never silently shifted timestamps
+    import org.apache.spark.sql.types.TimestampNTZType
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val landedNtz = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType == TimestampNTZType
+    assume(landedNtz, "driver generation no longer ships NTZ events")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalStateException](Tables.events(spark, sfDir))
+      assert(e.getMessage.contains("timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("window formulation matches the explicit argmax join") {
     // operator output is unordered by design (hash-time sort lives in
     // SparkEntry.hashOrder); pin the compare order here
