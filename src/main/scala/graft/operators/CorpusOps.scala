@@ -176,6 +176,10 @@ object CorpusOps {
   // calls in one session
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  /** See [[graft.GraftSession.invalidateCorpus]]. */
+  private[graft] def invalidateCorpus(sfDir: String): Unit =
+    mergeCache.keySet.removeIf(_.split('|').contains(sfDir))
   private def trainedMerges(
       spark: SparkSession, sfDir: String, nMerges: Int): Seq[(String, String)] =
     mergeCache.computeIfAbsent(s"$sfDir|$nMerges", _ =>

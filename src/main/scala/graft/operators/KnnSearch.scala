@@ -29,6 +29,10 @@ object KnnSearch {
     * caching it keeps repeated searches at one Spark job instead of two. */
   private val qvCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Float]]()
+
+  /** See [[graft.GraftSession.invalidateCorpus]]. */
+  private[graft] def invalidateCorpus(sfDir: String): Unit =
+    qvCache.keySet.removeIf(_._1 == sfDir)
   def queryVector(spark: SparkSession, sfDir: String, vecId: Long): Array[Float] =
     qvCache.computeIfAbsent((sfDir, vecId), { _ =>
       Tables.embeddings(spark, sfDir)

@@ -22,6 +22,10 @@ object TextAnalysis {
   private val bm25StatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
 
+  /** See [[graft.GraftSession.invalidateCorpus]]. */
+  private[graft] def invalidateCorpus(sfDir: String): Unit =
+    bm25StatsCache.keySet.removeIf(_.split('|').contains(sfDir))
+
   /** Token counts: whitespace tokens, punctuation-aware alnum tokens,
     * distinct alnum tokens. */
   def tokens(spark: SparkSession, sfDir: String): DataFrame =

@@ -161,6 +161,10 @@ object TextStore {
 
   private val chunkStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** See [[graft.GraftSession.invalidateCorpus]]. */
+  private[graft] def invalidateCorpus(sfDir: String): Unit =
+    chunkStoreCache.remove(sfDir)
   def ensureChunkStore(spark: SparkSession, sfDir: String): String =
     chunkStoreCache.computeIfAbsent(sfDir, { _ =>
       val path = java.nio.file.Files.createTempDirectory("graft_chunk_store_")

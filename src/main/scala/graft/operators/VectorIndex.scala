@@ -68,6 +68,17 @@ object VectorIndex {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
+  /** See [[graft.GraftSession.invalidateCorpus]]. Drops the corpus-keyed
+    * model state and session store paths; store-PATH-keyed serving caches
+    * refresh through their own write/compact/recover hooks, and a store
+    * rebuilt after invalidation lands at a fresh path. */
+  private[graft] def invalidateCorpus(sfDir: String): Unit = {
+    centroidCache.remove(sfDir)
+    pqCache.remove(sfDir)
+    storeCache.remove(sfDir)
+    lshStoreCache.remove(sfDir)
+  }
+
   /** Deterministic k-means: init = embeddings of the k smallest vec_ids,
     * then `Iters` Lloyd iterations. Returns driver-side centroid matrix. */
   def trainCentroids(spark: SparkSession, sfDir: String): Array[Array[Float]] =

@@ -357,6 +357,37 @@ class TextDedupSpec extends SparkSpec {
     assert(uncapped((100L, 101L)))
   }
 
+  test("invalidateCorpus serves fresh results after an in-place corpus mutation") {
+    import spark.implicits._
+    // corpus v1: one duplicated text → exactly pair (0,1). Mutate the SAME
+    // path to corpus v2: a different text duplicated under ids (10,11,12).
+    // The session caches legitimately serve v1 until invalidated; after
+    // GraftSession.invalidateCorpus, minhash and the ingest gate must
+    // answer from v2.
+    val dir = java.nio.file.Files.createTempDirectory("graft_inval_").toString
+    val t1 = (0 until 40).map(i => s"alpha$i bravo$i").mkString(" ")
+    val t2 = (0 until 40).map(i => s"zulu$i yankee$i").mkString(" ")
+    Seq((0L, t1), (1L, t1), (2L, "solo " + t2))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairs() = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() == Set((0L, 1L)))
+    Seq((10L, t2), (11L, t2), (12L, t2))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // still the v1 answer: the cached tables are keyed by path, not content
+    assert(pairs() == Set((0L, 1L)), "cache unexpectedly refreshed itself")
+    GraftSession.invalidateCorpus(dir)
+    assert(pairs() == Set((10L, 11L), (10L, 12L), (11L, 12L)),
+      s"stale minhash after invalidation: ${pairs()}")
+    val flags = Dedup.nearDupGate(
+      Seq((900L, t2)).toDF("doc_id", "text"), spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags == Set((900L, 10L), (900L, 11L), (900L, 12L)),
+      s"stale gate after invalidation: $flags")
+  }
+
   test("gate corpus band table is narrow: (corpus_doc_id, band, band_hash, pre)") {
     // the r9 gate shipped the full 32-int band-hash vector on every
     // exploded corpus row (32× redundant payload on the static table every
