@@ -37,6 +37,9 @@ object SparkEntry {
     "rag_context" -> ((s, d) => RagContext.context(s, d)),
     "rag_prompt" -> ((s, d) => RagContext.prompt(s, d)),
     "rag_text" -> ((s, d) => RagContext.contextFromText(s, d)),
+    // rows-only check: stage list + row counts are deterministic, wall
+    // millis are not (the one non-SQL-expressible surface — see oracleSql)
+    "search_metrics" -> ((s, d) => RagContext.searchMetrics(s, d)),
     "hybrid_rrf" -> ((s, d) => RagContext.hybridRrf(s, d)),
     "hybrid_rrf_ivf" -> ((s, d) =>
       RagContext.hybridRrf(s, d, vecFromStore = true)),
@@ -168,6 +171,7 @@ object SparkEntry {
     "text_featurize" -> Seq("doc_id", "dim"),
     "text_ppl" -> Seq("doc_id"),
     "doc_chunk" -> Seq("doc_id", "chunk_id"),
+    "search_metrics" -> Seq("stage_ord"),
     "add_texts" -> Seq("vec_id", "dim"),
     "corpus_sample" -> Seq("doc_id"),
     "corpus_bpe_tokenize" -> Seq("doc_id"),

