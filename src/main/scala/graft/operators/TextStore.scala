@@ -249,4 +249,138 @@ object TextStore {
   def addTextsLsh(
       spark: SparkSession, path: String, texts: DataFrame, gen: Long): Unit =
     VectorIndex.appendLshStore(spark, path, chunkVectors(texts), gen)
+
+  // ---- the pluggable external-embedder seam ---------------------------
+
+  /** A chunk awaiting embedding — the text side's
+    * [[Multimodal.MediaRecord]]: id scheme and metadata already
+    * assigned, text payload opaque to everything downstream. */
+  case class ChunkText(vec_id: Long, label: Int, chunk: String, metadata: String)
+
+  /** A store-ready embedded chunk row — [[chunkVectors]]'s exact output
+    * schema, so seam output feeds the same append/build/search paths. */
+  case class ChunkVector(
+      vec_id: Long, label: Int, embedding: Array[Float], metadata: String)
+
+  /** Chunks per embedder call — a real embedding model amortizes its
+    * per-call overhead (HTTP round-trip, GPU batch) over this many
+    * inputs, exactly like [[Multimodal.DecodeBatchSize]] does for
+    * codecs. */
+  final val EmbedBatchSize = 64
+
+  /** The chunk rows of a (doc_id, text, lang) frame BEFORE embedding —
+    * the input side of [[embedSeam]]; same chunker, vec_id scheme, and
+    * metadata as [[chunkVectors]]. */
+  def chunkTexts(
+      docs: DataFrame,
+      size: Int = ChunkSize,
+      overlap: Int = ChunkOverlap): org.apache.spark.sql.Dataset[ChunkText] = {
+    import docs.sparkSession.implicits._
+    TextAnalysis.chunkDocs(
+        docs.select(col("doc_id"), col("text"), col("lang")), size, overlap)
+      .select(
+        expr(s"CASE WHEN chunk_id < $ChunkMod THEN doc_id * $ChunkMod + chunk_id " +
+          s"ELSE raise_error('chunk_id overflows the $ChunkIdBits-bit vec_id scheme') END")
+          .cast("long").as("vec_id"),
+        col("chunk_id").cast("int").as("label"),
+        col("chunk"),
+        to_json(struct(col("doc_id"), col("chunk_id"), col("lang")))
+          .as("metadata"))
+      .as[ChunkText]
+  }
+
+  /** The batched EXTERNAL-EMBEDDER seam — [[Multimodal.decodeSeam]]'s
+    * pattern on the text side: where the reference pays
+    * `embed_query`/`embed_documents` API calls (app.py:27,118), a
+    * production deployment of this engine swaps a real model in here and
+    * the Spark-side plumbing (schema, id scheme, partitioning, batch
+    * shape, store CRUD) is unchanged. The embedder sees `EmbedBatchSize`
+    * texts per call and returns one vector per input, aligned; `null`
+    * (or empty) marks an unembeddable input and drops the chunk — the
+    * same contract as the column pipeline dropping zero-signal chunks.
+    * Map-only: chunks embed where they were chunked, nothing shuffles
+    * until the store write. */
+  def embedSeam(
+      records: org.apache.spark.sql.Dataset[ChunkText],
+      embedder: Array[String] => Array[Array[Float]])
+      : org.apache.spark.sql.Dataset[ChunkVector] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(EmbedBatchSize).flatMap { g =>
+        val arr = g.toArray
+        val vecs = embedder(arr.map(_.chunk))
+        require(vecs.length == arr.length,
+          s"embedder returned ${vecs.length} vectors for ${arr.length} chunks")
+        arr.iterator.zip(vecs.iterator).collect {
+          case (c, v) if v != null && v.nonEmpty =>
+            ChunkVector(c.vec_id, c.label, v, c.metadata)
+        }
+      }
+    }
+  }
+
+  /** The deterministic DEFAULT embedder: the hashing-trick featurizer as
+    * a plain JVM batch function — the same Mersenne-61 token hashes
+    * (`[a-z0-9]+` over lowercased text), signed-count slots, and
+    * float-cast L2 normalization as the [[chunkVectors]] column pipeline,
+    * so the seam's default output is BIT-IDENTICAL to the expression path
+    * (spec-pinned). Returns null for zero-signal texts, which
+    * [[embedSeam]] drops exactly as the column path drops norm2 = 0
+    * rows. */
+  def hashingEmbedder(dim: Int = Dim): Array[String] => Array[Array[Float]] = {
+    val pattern = java.util.regex.Pattern.compile("[a-z0-9]+")
+    texts => texts.map { t =>
+      val w = new Array[Long](dim)
+      val m = pattern.matcher(t.toLowerCase(java.util.Locale.ROOT))
+      while (m.find()) {
+        val h = graft.functions.Mersenne61.polyHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(m.group()))
+        val d = (h % dim).toInt // poly hashes are nonnegative
+        if (((h / dim) & 1L) == 0L) w(d) += 1 else w(d) -= 1
+      }
+      var norm2 = 0L
+      var i = 0
+      while (i < dim) { norm2 += w(i) * w(i); i += 1 }
+      if (norm2 == 0L) null
+      else {
+        val s = math.sqrt(norm2.toDouble)
+        w.map(v => (v / s).toFloat)
+      }
+    }
+  }
+
+  /** [[addTexts]] through the embedder seam: chunk, embed via the
+    * supplied batch function, append as one delta generation. With
+    * [[hashingEmbedder]] this is bit-identical to [[addTexts]]; with a
+    * real model it is the reference's `add_texts` against an external
+    * embedding service. */
+  def addTextsEmbedded(
+      spark: SparkSession,
+      path: String,
+      texts: DataFrame,
+      gen: Long,
+      embedder: Array[String] => Array[Array[Float]]): Unit =
+    VectorIndex.appendStore(spark, path,
+      embedSeam(chunkTexts(texts), embedder).toDF(), gen)
+
+  /** [[searchByText]] with the query embedded by the SAME pluggable
+    * embedder as [[addTextsEmbedded]] — ingest and search must live in
+    * one embedding space, whichever model provides it. */
+  def searchByTextEmbedded(
+      spark: SparkSession,
+      path: String,
+      queryText: String,
+      embedder: Array[String] => Array[Array[Float]],
+      k: Int = 10,
+      nprobe: Int = 4,
+      filter: Option[Column] = None): DataFrame = {
+    val v = embedder(Array(queryText))(0)
+    require(v != null && v.nonEmpty,
+      "searchByTextEmbedded: embedder returned no vector for the query")
+    VectorIndex.searchStore(spark, path, v, k, nprobe, filter)
+      .select(
+        expr(s"vec_id div $ChunkMod").as("doc_id"),
+        expr(s"vec_id % $ChunkMod").as("chunk_id"),
+        col("score"))
+  }
 }

@@ -69,6 +69,55 @@ class TextStoreSpec extends SparkSpec {
       "both added documents must surface in the top hits")
   }
 
+  test("embedSeam with the default hashing embedder is bit-identical to chunkVectors") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+      .select(col("doc_id"), col("text"), col("lang"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3),
+        r.getSeq[Float](2).toVector)).toSet
+    val viaSeam = keyed(TextStore.embedSeam(
+      TextStore.chunkTexts(docs), TextStore.hashingEmbedder()).toDF())
+    val viaColumns = keyed(TextStore.chunkVectors(docs))
+    assert(viaSeam == viaColumns,
+      s"seam/column divergence: ${viaSeam.diff(viaColumns).take(2)} / " +
+        s"${viaColumns.diff(viaSeam).take(2)}")
+  }
+
+  test("a swapped embedder flows through addTexts -> store -> search unchanged") {
+    // a fake external model: deterministic two-hot unit vectors keyed by
+    // which novel marker token the chunk contains — nothing like the
+    // hashing featurizer, so retrieval working proves the seam carried
+    // the custom space end to end (ingest and query sides both)
+    val fake: Array[String] => Array[Array[Float]] = texts => texts.map { t =>
+      val v = new Array[Float](TextStore.Dim)
+      // greblont first: doc 900002's text contains BOTH markers
+      val slot =
+        if (t.contains("greblont")) 23
+        else if (t.contains("zyqfluor")) 7
+        else 40
+      val r = 1.0f / math.sqrt(2.0).toFloat
+      v(slot) = r; v(slot + 1) = r
+      v
+    }
+    val path = Files.createTempDirectory("text_store_embed").toString
+    TextStore.writeChunkStore(spark, sfDir, path)
+    TextStore.addTextsEmbedded(spark, path, newTexts, gen = 1L, fake)
+    // query in the fake space: marker "zyqfluor" → doc 900001's chunks
+    // (hash-featurized corpus chunks are near-orthogonal to the two-hot)
+    val hits = TextStore.searchByTextEmbedded(
+      spark, path, "zyqfluor query", fake, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(hits.nonEmpty)
+    assert(hits.head._1 == 900001L && hits.head._2 > 0.99,
+      s"custom-space retrieval failed: ${hits.toSeq}")
+    // the greblont marker retrieves the other added doc, same space
+    val hits2 = TextStore.searchByTextEmbedded(
+      spark, path, "has greblont inside", fake, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(hits2.head._1 == 900002L && hits2.head._2 > 0.99,
+      s"custom-space retrieval failed: ${hits2.toSeq}")
+  }
+
   test("addTexts: same contract on the LSH layout") {
     val path = Files.createTempDirectory("text_store_lsh").toString
     TextStore.writeLshChunkStore(spark, sfDir, path)
