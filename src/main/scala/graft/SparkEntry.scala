@@ -103,6 +103,16 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    "corpus_embedding_gate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      // incoming = a deterministic id-shifted embeddings slice, mirroring
+      // corpus_neardup_gate; the streaming twin runs the SAME
+      // implementation over a readStream source
+      val incoming = graft.Tables.embeddings(s, d)
+        .where(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupGate(incoming, s, d)
+    }),
     "knn_graph" -> ((s, d) => Dedup.knnGraph(s, d)),
     // --- ANN index structures (rows-only oracles) ---
     "ivf_build" -> ((s, d) => VectorIndex.ivfBuild(s, d)),
@@ -188,6 +198,7 @@ object SparkEntry {
     "dedup_keep_best" -> Seq("doc_id"),
     "dedup_embedding" -> Seq("id_a", "id_b"),
     "dedup_embedding_lsh" -> Seq("id_a", "id_b"),
+    "corpus_embedding_gate" -> Seq("vec_id", "corpus_vec_id"),
     "knn_graph" -> Seq("src", "rank"),
     "ivf_build" -> Seq("vec_id"),
     "pq_build" -> Seq("vec_id", "sub"),
@@ -1684,8 +1695,9 @@ object SparkEntry {
     // re-identified +900000), flagged against the full corpus. The
     // oracle derives the incoming side's signatures by id-shift from the
     // shared sig chain (same text -> same sig, by the determinism the
-    // whole minhash family rests on); the gate has no bucket cap, so
-    // Spark's lowest-matching-band exactly-once emission equals the
+    // whole minhash family rests on); no sf0.01 bucket approaches the
+    // gate's default cap (empty dead set => capped ≡ uncapped), so
+    // Spark's lowest-alive-band exactly-once emission equals the
     // DISTINCT over all co-bucketed pairs.
     "corpus_neardup_gate" ->
       s"""WITH $minhashSigCtes,
@@ -2085,6 +2097,37 @@ object SparkEntry {
          |JOIN embeddings eb ON eb.vec_id = c.id_b
          |WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
+    },
+    // the embedding ingest gate replayed from the same sign-LSH chain:
+    // incoming = the id-shifted slice, candidates = DISTINCT co-bucketed
+    // (incoming, corpus) pairs in alive buckets (no sf0.01 bucket
+    // approaches the cap => the lowest-alive-band ownership emission
+    // equals the DISTINCT), verify = exact cosine at the gate threshold
+    "corpus_embedding_gate" -> {
+      val sigTerms = (1 to 8)
+        .map(k => s"(CASE WHEN embedding[band * 8 + $k] > 0 THEN ${1 << (k - 1)} ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH s AS (
+         |  SELECT vec_id, band,
+         |    $sigTerms AS sig
+         |  FROM embeddings, (SELECT unnest(range(8)) AS band)),
+         |si AS (
+         |  SELECT vec_id + 900000 AS vec_id, band, sig
+         |  FROM s WHERE vec_id % 10 = 3),
+         |bs AS (
+         |  SELECT band, sig FROM s GROUP BY band, sig HAVING count(*) <= 1000),
+         |c AS (
+         |  SELECT DISTINCT i.vec_id AS vec_id, a.vec_id AS corpus_vec_id
+         |  FROM si i
+         |  JOIN bs ON bs.band = i.band AND bs.sig = i.sig
+         |  JOIN s a ON a.band = i.band AND a.sig = i.sig)
+         |SELECT c.vec_id, c.corpus_vec_id,
+         |  ROUND(list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])), 4) AS cos_sim
+         |FROM c
+         |JOIN embeddings ei ON ei.vec_id = c.vec_id - 900000
+         |JOIN embeddings ec ON ec.vec_id = c.corpus_vec_id
+         |WHERE ROUND(list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])), 4) >= 0.9
+         |ORDER BY c.vec_id, c.corpus_vec_id""".stripMargin
     },
     // the kNN graph replayed from the same banded-signature candidates:
     // undirected scored pairs mirror into both directions, per-source

@@ -55,4 +55,26 @@ object CorpusStream {
         .schema(docSchema)
         .json(streamDir),
       spark, sfDir, minEstimate = minEstimate, maxDf = maxDf)
+
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Streaming EMBEDDING ingest gate — [[nearDupGate]]'s contract for a
+    * (vec_id, embedding) stream: flag incoming vectors that are
+    * near-copies (exact cosine ≥ threshold) of the existing corpus, via
+    * the shared batch implementation
+    * ([[graft.operators.Dedup.embeddingNearDupGate]]). Stateless append
+    * mode: map-only signing, stream-static band join with
+    * lowest-alive-band exactly-once ownership, static cosine verify. */
+  def embeddingNearDupGate(
+      spark: SparkSession,
+      sfDir: String,
+      streamDir: String,
+      threshold: Double = 0.9): DataFrame =
+    graft.operators.Dedup.embeddingNearDupGate(
+      spark.readStream
+        .schema(vecSchema)
+        .json(streamDir),
+      spark, sfDir, threshold = threshold)
 }

@@ -78,4 +78,49 @@ class CorpusStreamSpec extends SparkSpec {
     // novel documents never flag
     assert(!streamed.exists(_._1 >= 950000L), "novel doc wrongly flagged")
   }
+
+  test("streaming embedding gate matches the batch gate, stateless, across micro-batches") {
+    import spark.implicits._
+    // incoming mix: exact copies of corpus vectors under NEW ids (must
+    // flag against their source at cos 1.0), plus negated corpus vectors
+    // (cos -1.0 to their source, ~0 elsewhere — must never flag)
+    val corpusVecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).take(6)
+    val incoming: Seq[(Long, Array[Float])] =
+      corpusVecs.toSeq.zipWithIndex
+        .map { case ((_, v), i) => (800000L + i, v) } ++
+        corpusVecs.take(3).zipWithIndex
+          .map { case ((_, v), i) => (850000L + i, v.map(x => -x)) }
+    val incomingDf = incoming.toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("embgate_stream").toString
+    incomingDf.repartition(3).write.mode("overwrite").json(dir)
+
+    val q = CorpusStream.embeddingNearDupGate(spark, sfDir, dir)
+      .writeStream
+      .format("memory")
+      .queryName("embedding_gate_spec")
+      .outputMode("append") // stateless: no aggregation, no watermark
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("embedding_gate_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.length == streamed.distinct.length,
+      s"duplicate gate emission: ${streamed.diff(streamed.distinct).toSeq}")
+    val batch = Dedup.embeddingNearDupGate(incomingDf, spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batch.length == batch.distinct.length)
+    assert(streamed.toSet == batch.toSet,
+      s"stream/batch divergence: ${streamed.toSet.diff(batch.toSet).take(5)} / " +
+        s"${batch.toSet.diff(streamed.toSet).take(5)}")
+    // each copied vector flags against its source at exactly 1.0
+    corpusVecs.zipWithIndex.foreach { case ((srcId, _), i) =>
+      assert(streamed.exists(e => e._1 == 800000L + i && e._2 == srcId && e._3 == 1.0),
+        s"copy of corpus vec $srcId not flagged")
+    }
+    // negated vectors never flag
+    assert(!streamed.exists(_._1 >= 850000L), "negated vec wrongly flagged")
+  }
 }
