@@ -21,7 +21,11 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     if (args.contains("--explain"))
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-    (1 to 3).foreach { i =>
+    // --runs=N for expensive large-SF probes where 3 warm runs would
+    // triple a multi-minute measurement
+    val runs = args.collectFirst { case a if a.startsWith("--runs=") =>
+      a.stripPrefix("--runs=").toInt }.getOrElse(3)
+    (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
