@@ -49,6 +49,21 @@ object GraftSession {
       .config("spark.sql.files.minPartitionNum", (2 * cores).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Broadcast joins come ONLY from explicit hints (by-construction-
+      // bounded sets, §6) or AQE's runtime conversion from MEASURED stage
+      // sizes — never from compile-time estimates. Catalyst's static
+      // sizeInBytes after an aggregate/explode chain is a guess, and a
+      // guess that lands under the threshold plans a BroadcastHashJoin
+      // that AQE cannot demote: the sf10 rehearsal measured exactly this
+      // — dedup_embedding_lsh's candidate-verify join statically
+      // broadcast the pair side from a <10 MB estimate that was >1 GiB
+      // at execution (maxResultSize abort here; a driver OOM at 100 TB).
+      // With the static threshold off, such joins start as shuffle joins
+      // and AQE upgrades the genuinely-small ones per-stage from real
+      // sizes (adaptive threshold kept at the 10 MB default, which would
+      // otherwise inherit the -1).
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions()(_))
       .getOrCreate()

@@ -1,6 +1,5 @@
 package graft.tools
 import graft.SparkEntry
-import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc profiling main: run one SparkEntry query N times in a warm JVM.
   * Usage: runMain graft.tools.Profile <queryName> [sfDir] [--explain]
@@ -12,13 +11,11 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("knn_cosine")
     val sfDir = args.drop(1).find(!_.startsWith("--")).getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the engine's tuned session (NOT a bare builder): a profile run must
+    // measure the plans the graded queries actually get — broadcast
+    // policy, AQE, split floors all change them
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     if (args.contains("--explain"))
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     // --runs=N for expensive large-SF probes where 3 warm runs would
