@@ -31,8 +31,17 @@ object Bench {
     // sub-quadratic sibling is benched anyway)
     val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // include-list knob for family-targeted large-SF sweeps (a 30-query
+    // sf10 rehearsal would otherwise need the 60-query complement spelled
+    // out as SKIP); unknown names fail loudly instead of silently
+    // shrinking the sweep
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
     val spark = GraftSession.local(cpus)
-    val names = (SparkEntry.queries.keySet -- skip).toSeq.sorted
+    val base = if (only.nonEmpty) only else SparkEntry.queries.keySet
+    val names = (base -- skip).toSeq.sorted
     val times = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
 
@@ -91,7 +100,7 @@ object Bench {
     // self-describing partial sweeps: a skipped query is a deliberate gap,
     // not a fast run — without this a SPARK_GRAFT_SKIP sweep's total is
     // indistinguishable from a full run except by missing keys
-    val skippedJson = (SparkEntry.queries.keySet & skip).toSeq.sorted
+    val skippedJson = (SparkEntry.queries.keySet -- names).toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"sf":"$sfDir"}"""
