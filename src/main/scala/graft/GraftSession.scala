@@ -64,6 +64,25 @@ object GraftSession {
       // otherwise inherit the -1).
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      // ObjectHashAggregate (the execution node behind TypedImperative
+      // aggregates like TopKAgg and behind collect_list/collect_set)
+      // abandons its hash map after 128 distinct groups PER TASK and
+      // falls back to sorting every remaining INPUT ROW through an
+      // UnsafeKVExternalSorter. The sf10 rehearsal hit the failure mode
+      // this bakes in: dup-heavy intermediate tables compress to ~5
+      // bytes/row, so a 128 MB byte-based split carries ~25M rows, and
+      // knn_graph's per-source top-k — whose aggregation buffers are
+      // O(k) BY CONSTRUCTION — shoved ~50M exploded edge rows into one
+      // task's sorter until its pointer array needed a 1 GiB contiguous
+      // allocation (SparkOutOfMemoryError under GC pressure). Every
+      // object-agg in this engine has a bounded buffer (TopKAgg k-slot
+      // heaps; collect groups capped by maxDf / maxBucket / fetchK /
+      // weeks-per-user contracts), so holding ~500k of them in the hash
+      // map is tens of MB — while the sort fallback's cost scales with
+      // INPUT rows, not groups. Keep the fallback as the backstop for
+      // true group-explosions, but move it out of the operating range.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 19).toString)
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions()(_))
       .getOrCreate()

@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // `ImageIO` defaults to DISK-backed stream caches: every
+  // `ImageIO.read(InputStream)` and `createImageOutputStream` spools the
+  // payload through a temp FILE, so a 32-thread decode stage becomes
+  // hundreds of thousands of create/write/delete round-trips against the
+  // scratch filesystem — real disk I/O and kernel metadata contention on
+  // a path that is otherwise pure CPU over in-memory byte arrays. The
+  // payloads here are already fully in memory (binary column batches),
+  // so the memory-backed cache is strictly better at any scale. Runs in
+  // the object initializer: executors initialize this object when the
+  // first decode-seam closure touches it, so the setting reaches every
+  // JVM that decodes, not just the driver.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Opaque media payload row (what an ingest table of images would hold). */
   case class MediaRecord(doc_id: Long, payload: Array[Byte])
 
