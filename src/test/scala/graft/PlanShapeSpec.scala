@@ -106,8 +106,16 @@ class PlanShapeSpec extends SparkSpec {
       graft.operators.Dedup.embeddingNearDupLsh(spark, sfDir))
     assert(!lsh.contains("embeddings.parquet"),
       s"embeddingNearDupLsh rebuilt the candidate pipeline inline:\n$lsh")
-    assert(!lsh.contains("Exchange"),
-      s"threshold tail over the pair table must be scan+filter only:\n$lsh")
+    // r10 unique-first: the tail is pair-table scan + threshold filter +
+    // the two member-expansion joins (AQE-broadcast at this corpus size)
+    // — but never a SHUFFLE exchange, and the threshold must reach the
+    // pair-table scan as a pushed filter (expansion happens on survivors
+    // only, not on the full candidate multiset)
+    assert(!lsh.contains("Exchange hashpartitioning")
+        && !lsh.contains("Exchange rangepartitioning"),
+      s"threshold tail must not shuffle:\n$lsh")
+    assert(lsh.contains("GreaterThanOrEqual(cos_sim"),
+      s"threshold must push into the pair-table scan:\n$lsh")
     val graph = executedPlan(graft.operators.Dedup.knnGraph(spark, sfDir))
     assert(!graph.contains("embeddings.parquet"),
       s"knnGraph rebuilt the candidate pipeline inline:\n$graph")
