@@ -107,13 +107,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!lsh.contains("embeddings.parquet"),
       s"embeddingNearDupLsh rebuilt the candidate pipeline inline:\n$lsh")
     // r10 unique-first: the tail is pair-table scan + threshold filter +
-    // the two member-expansion joins (AQE-broadcast at this corpus size)
-    // — but never a SHUFFLE exchange, and the threshold must reach the
-    // pair-table scan as a pushed filter (expansion happens on survivors
-    // only, not on the full candidate multiset)
-    assert(!lsh.contains("Exchange hashpartitioning")
-        && !lsh.contains("Exchange rangepartitioning"),
-      s"threshold tail must not shuffle:\n$lsh")
+    // the two member-expansion joins. The ONLY shuffles allowed are the
+    // deliberately PINNED pre-fan-out repartitions (REPARTITION_BY_COL —
+    // skinny unique-level rows, never the expanded multiset); a
+    // planner-added hash exchange (ENSURE_REQUIREMENTS) would mean the
+    // fan-out lost its pinned width or the expanded rows started
+    // shuffling. The threshold must reach the pair-table scan as a
+    // pushed filter (expansion happens on survivors only).
+    val plannerExchanges = "Exchange hashpartitioning[^\\n]*".r
+      .findAllIn(lsh).filterNot(e =>
+        e.contains("REPARTITION_BY_COL") || e.contains("REPARTITION_BY_NUM"))
+      .toList
+    assert(plannerExchanges.isEmpty && !lsh.contains("rangepartitioning"),
+      s"threshold tail grew a planner-added shuffle: $plannerExchanges\n$lsh")
     assert(lsh.contains("GreaterThanOrEqual(cos_sim"),
       s"threshold must push into the pair-table scan:\n$lsh")
     val graph = executedPlan(graft.operators.Dedup.knnGraph(spark, sfDir))
