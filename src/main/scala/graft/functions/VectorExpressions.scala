@@ -220,6 +220,98 @@ case class L2Normalize(child: Expression) extends UnaryExpression with ExpectsIn
   }
 }
 
+/** Shared kernel for [[SignLshSigs]]: one loop over a precomputed plane
+  * table, called identically from interpreted eval and generated code.
+  * Plane p's bit is sign(x[pa]) when pc < 0 (axis plane) or
+  * sign(x[pa] ± x[pc]) (pairwise plane, op by `ps`) — float arithmetic
+  * identical to the SQL formulation it replaces, so the sig values are
+  * bit-for-bit unchanged. */
+object SignLsh {
+  def sigs(emb: ArrayData, bands: Int, bits: Int,
+      pa: Array[Int], pc: Array[Int], ps: Array[Byte]): ArrayData = {
+    val out = new Array[Int](bands)
+    var p = 0
+    var b = 0
+    while (b < bands) {
+      var sig = 0
+      var i = 0
+      while (i < bits) {
+        val a = pa(p)
+        val v =
+          if (pc(p) < 0) emb.getFloat(a)
+          else if (ps(p) > 0) emb.getFloat(a) + emb.getFloat(pc(p))
+          else emb.getFloat(a) - emb.getFloat(pc(p))
+        if (v > 0) sig |= (1 << i)
+        i += 1
+        p += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** sign_lsh_sigs(embedding): the banded sign-LSH signature vector as ONE
+  * native expression — a loop over a reference-object plane table instead
+  * of bands·bits unrolled SQL terms. The unrolled formulation it replaces
+  * generated a >64 KB whole-stage method at the size-scaled layouts (the
+  * sf100 auto layout is 16 bands × 18 bits = 288 IF terms), which failed
+  * Janino and dropped the hottest banding scan to interpreted mode;
+  * generated code here is a constant few lines at ANY layout. Plane
+  * enumeration (axis planes first, then 45° pairwise planes with the op
+  * alternating by coordinate parity) is identical to the SQL version —
+  * see the Scaladoc at graft.operators.Dedup#signLshSigExpr's call site
+  * — and the float arithmetic is the same one add/sub before the sign
+  * test, so every sig bit is unchanged. Assumes dense non-null embedding
+  * arrays (the same contract as cosine_sim and every other vector
+  * kernel here). */
+case class SignLshSigs(child: Expression, bands: Int, bitsPerBand: Int, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bitsPerBand <= 31, s"band sigs pack into an int: $bitsPerBand")
+  require(bands * bitsPerBand <= dim * dim,
+    s"plane budget ${bands}x$bitsPerBand exceeds dim^2 = ${dim * dim}")
+
+  override def prettyName: String = "sign_lsh_sigs"
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  // the plane table, built once at plan time: pa = first coordinate,
+  // pc = partner coordinate (-1 for an axis plane), ps = +1/-1 op
+  private val (pa, pc, ps) = {
+    val n = bands * bitsPerBand
+    val a = new Array[Int](n)
+    val c = new Array[Int](n)
+    val s = new Array[Byte](n)
+    var p = 0
+    while (p < n) {
+      if (p < dim) { a(p) = p; c(p) = -1; s(p) = 1 }
+      else {
+        val q = p - dim
+        a(p) = q % dim
+        val o = q / dim
+        c(p) = (a(p) + 1 + o % (dim - 1)) % dim
+        s(p) = if (a(p) % 2 == 0) 1 else -1
+      }
+      p += 1
+    }
+    (a, c, s)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SignLsh.sigs(v.asInstanceOf[ArrayData], bands, bitsPerBand, pa, pc, ps)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val paRef = ctx.addReferenceObj("pa", pa, "int[]")
+    val pcRef = ctx.addReferenceObj("pc", pc, "int[]")
+    val psRef = ctx.addReferenceObj("ps", ps, "byte[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.SignLsh.sigs(
+         |  $a, $bands, $bitsPerBand, $paRef, $pcRef, $psRef);""".stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-API surface + SQL registration for the vector expressions. */
 object VectorFunctions {
   import Bridge.{col, expr}
@@ -231,6 +323,8 @@ object VectorFunctions {
   def l2Normalize(x: Column): Column = col(L2Normalize(expr(x)))
   def normalizedDot(x: Column, uq: Column): Column =
     col(NormalizedDot(expr(x), expr(uq)))
+  def signLshSigs(x: Column, bands: Int, bitsPerBand: Int, dim: Int): Column =
+    col(SignLshSigs(expr(x), bands, bitsPerBand, dim))
 
   /** Make the functions callable from `spark.sql(...)` text. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
