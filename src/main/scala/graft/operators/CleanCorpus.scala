@@ -44,8 +44,10 @@ object CleanCorpus {
         markers.keys.filterNot(_ == "en").toSeq.map(l =>
           expr(s"size(filter(toks, t -> array_contains(${arr(markers(l))}, t)))")): _*))
 
-    val dupIds = Dedup.ngramJaccardPairs(spark, sfDir)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // the distinct doc_b side derived from the unique-level pair table —
+    // never the member-level expansion (quadratic in copy count; r10)
+    val dupIds = Dedup.duplicateDocIds(spark, sfDir)
+      .select(col("doc_id"))
 
     scored
       .where(col("quality") >= minQuality && col("c_en") >= col("c_other"))

@@ -491,4 +491,22 @@ class TextDedupSpec extends SparkSpec {
       spark, dir.toString, threshold = 0.99, maxBucket = 1000).collect()
     assert(uncapped.length == 10)
   }
+
+  test("duplicateDocIds equals the distinct doc_b of the expanded pair set") {
+    // the derivation a duplicate gate relies on (r10): expansion emits
+    // doc_b = greatest(da, db) over member combos, and a unique's
+    // representative IS its minimum member — so the greatest-side set is
+    // computable per unique pair without the quadratic expansion. Pin
+    // set equality on the graded corpus (near-dup structure from the
+    // driver's duplicate texts) at the graded parameters.
+    val viaExpansion = Dedup.ngramJaccard(spark, sfDir)
+      .select(col("doc_b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val derived = Dedup.duplicateDocIds(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(derived == viaExpansion,
+      s"derived \\ expansion = ${(derived -- viaExpansion).toSeq.sorted.take(10)}; " +
+        s"expansion \\ derived = ${(viaExpansion -- derived).toSeq.sorted.take(10)}")
+    assert(viaExpansion.nonEmpty, "vacuous: the corpus has no near-dup pairs")
+  }
 }
