@@ -37,9 +37,12 @@ object SparkEntry {
     "rag_context" -> ((s, d) => RagContext.context(s, d)),
     "rag_prompt" -> ((s, d) => RagContext.prompt(s, d)),
     "rag_text" -> ((s, d) => RagContext.contextFromText(s, d)),
-    // rows-only check: stage list + row counts are deterministic, wall
-    // millis are not (the one non-SQL-expressible surface — see oracleSql)
-    "search_metrics" -> ((s, d) => RagContext.searchMetrics(s, d)),
+    // graded on the deterministic columns (stage list + row counts);
+    // `millis` is wall-clock — the full timed frame stays the API
+    // (RagContext.searchMetrics), the graded projection drops it so the
+    // driver can hash-compare against a replaying oracle
+    "search_metrics" -> ((s, d) =>
+      RagContext.searchMetrics(s, d).select("stage_ord", "stage", "rows_out")),
     "hybrid_rrf" -> ((s, d) => RagContext.hybridRrf(s, d)),
     "hybrid_rrf_ivf" -> ((s, d) =>
       RagContext.hybridRrf(s, d, vecFromStore = true)),
@@ -98,6 +101,16 @@ object SparkEntry {
         .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
       Dedup.nearDupGate(incoming, s, d)
     }),
+    "corpus_neardup_gate_repr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      // the scale-safe gate contract: same incoming slice, ONE row per
+      // flagged doc (best representative + corpus copy count) instead of
+      // one per (incoming, corpus-member) pair
+      val incoming = graft.Tables.documents(s, d)
+        .where(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+      Dedup.nearDupGateRepr(incoming, s, d)
+    }),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusterAssign(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
@@ -112,6 +125,14 @@ object SparkEntry {
         .where(col("vec_id") % 10 === 3)
         .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDupGate(incoming, s, d)
+    }),
+    "corpus_embedding_gate_repr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      // representative-level embedding gate over the same incoming slice
+      val incoming = graft.Tables.embeddings(s, d)
+        .where(col("vec_id") % 10 === 3)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupGateRepr(incoming, s, d)
     }),
     "knn_graph" -> ((s, d) => Dedup.knnGraph(s, d)),
     // --- ANN index structures (rows-only oracles) ---
@@ -193,12 +214,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "dedup_minhash_lsh" -> Seq("doc_a", "doc_b"),
     "corpus_neardup_gate" -> Seq("doc_id", "corpus_doc_id"),
+    "corpus_neardup_gate_repr" -> Seq("doc_id"),
     "dedup_simhash" -> Seq("doc_a", "doc_b"),
     "dedup_clusters" -> Seq("doc_id"),
     "dedup_keep_best" -> Seq("doc_id"),
     "dedup_embedding" -> Seq("id_a", "id_b"),
     "dedup_embedding_lsh" -> Seq("id_a", "id_b"),
     "corpus_embedding_gate" -> Seq("vec_id", "corpus_vec_id"),
+    "corpus_embedding_gate_repr" -> Seq("vec_id"),
     "knn_graph" -> Seq("src", "rank"),
     "ivf_build" -> Seq("vec_id"),
     "pq_build" -> Seq("vec_id", "sub"),
@@ -1093,6 +1116,24 @@ object SparkEntry {
         |  ORDER BY score DESC, e.vec_id
         |  LIMIT 3) s
         |JOIN documents d ON d.doc_id = s.vec_id""".stripMargin),
+    // search_metrics graded on its DETERMINISTIC columns (the projection
+    // the queries entry emits): the stage list is fixed by the pipeline
+    // shape; rows_out replays as 1 (query vector), min(k, eligible docs)
+    // for search (eligible = has at least one [a-z0-9]+ token, the
+    // norm2 > 0 condition), 1 context row iff any hit, 1 prompt
+    "search_metrics" ->
+      """WITH elig AS (
+        |  SELECT count(*) AS n FROM documents
+        |  WHERE doc_id <> 0
+        |    AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0)
+        |SELECT 1 AS stage_ord, 'embed_query' AS stage,
+        |  CAST(1 AS BIGINT) AS rows_out
+        |UNION ALL SELECT 2, 'search',
+        |  CAST(LEAST(3, (SELECT n FROM elig)) AS BIGINT)
+        |UNION ALL SELECT 3, 'build_context',
+        |  CAST(CASE WHEN (SELECT n FROM elig) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |UNION ALL SELECT 4, 'build_prompt', CAST(1 AS BIGINT)
+        |ORDER BY stage_ord""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(sum(l_quantity), 2) AS sum_qty,
@@ -1718,6 +1759,37 @@ object SparkEntry {
          |    i -> sa.sig[CAST(i + 1 AS INTEGER)] = sb.sig[CAST(i + 1 AS INTEGER)]))
          |  / 128.0 >= 0.5
          |ORDER BY p.doc_id, p.corpus_doc_id""".stripMargin,
+    // the REPRESENTATIVE-level gate: collapse the pair set per incoming
+    // doc — rep = first corpus member under (est DESC, id ASC), which is
+    // the min member of the best-estimate group = that group's
+    // representative id (a rep IS its group's minimum member); count =
+    // the pair mode's per-doc row count
+    "corpus_neardup_gate_repr" ->
+      s"""WITH $minhashSigCtes,
+         |incb AS (
+         |  SELECT doc_id + 900000 AS doc_id, band, bh
+         |  FROM bands WHERE doc_id % 10 = 3),
+         |gpairs AS (
+         |  SELECT DISTINCT i.doc_id, b.doc_id AS corpus_doc_id
+         |  FROM incb i JOIN bands b USING (band, bh)),
+         |flags AS (
+         |  SELECT p.doc_id, p.corpus_doc_id,
+         |    FLOOR(len(list_filter(range(128),
+         |        i -> sa.sig[CAST(i + 1 AS INTEGER)] = sb.sig[CAST(i + 1 AS INTEGER)]))
+         |      / 128.0 * 10000 + 0.5) / 10000.0 AS est_jaccard
+         |  FROM gpairs p
+         |  JOIN sigs sa ON sa.doc_id = p.doc_id - 900000
+         |  JOIN sigs sb ON sb.doc_id = p.corpus_doc_id
+         |  WHERE len(list_filter(range(128),
+         |      i -> sa.sig[CAST(i + 1 AS INTEGER)] = sb.sig[CAST(i + 1 AS INTEGER)]))
+         |    / 128.0 >= 0.5)
+         |SELECT doc_id, corpus_rep, n_corpus_matches, est_jaccard FROM (
+         |  SELECT doc_id, corpus_doc_id AS corpus_rep, est_jaccard,
+         |    row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY est_jaccard DESC, corpus_doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_corpus_matches
+         |  FROM flags) t
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // connected components over the ngram-jaccard near-dup graph: the
     // oracle computes the exact transitive closure (recursive CTE over the
     // symmetric edge list) and takes min-reachable-id per node — the same
@@ -2128,6 +2200,43 @@ object SparkEntry {
          |JOIN embeddings ec ON ec.vec_id = c.corpus_vec_id
          |WHERE ROUND(list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])), 4) >= 0.9
          |ORDER BY c.vec_id, c.corpus_vec_id""".stripMargin
+    },
+    // the REPRESENTATIVE-level embedding gate — same collapse as
+    // corpus_neardup_gate_repr: rep = first corpus member under
+    // (cos DESC, id ASC) = the best group's representative; count = the
+    // pair mode's per-vector row count
+    "corpus_embedding_gate_repr" -> {
+      val sigTerms = (1 to 8)
+        .map(k => s"(CASE WHEN embedding[band * 8 + $k] > 0 THEN ${1 << (k - 1)} ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH s AS (
+         |  SELECT vec_id, band,
+         |    $sigTerms AS sig
+         |  FROM embeddings, (SELECT unnest(range(8)) AS band)),
+         |si AS (
+         |  SELECT vec_id + 900000 AS vec_id, band, sig
+         |  FROM s WHERE vec_id % 10 = 3),
+         |bs AS (
+         |  SELECT band, sig FROM s GROUP BY band, sig HAVING count(*) <= 1000),
+         |c AS (
+         |  SELECT DISTINCT i.vec_id AS vec_id, a.vec_id AS corpus_vec_id
+         |  FROM si i
+         |  JOIN bs ON bs.band = i.band AND bs.sig = i.sig
+         |  JOIN s a ON a.band = i.band AND a.sig = i.sig),
+         |flags AS (
+         |  SELECT c.vec_id, c.corpus_vec_id,
+         |    ROUND(list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])), 4) AS cos_sim
+         |  FROM c
+         |  JOIN embeddings ei ON ei.vec_id = c.vec_id - 900000
+         |  JOIN embeddings ec ON ec.vec_id = c.corpus_vec_id
+         |  WHERE ROUND(list_cosine_similarity(CAST(ei.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])), 4) >= 0.9)
+         |SELECT vec_id, corpus_rep, n_corpus_matches, cos_sim FROM (
+         |  SELECT vec_id, corpus_vec_id AS corpus_rep, cos_sim,
+         |    row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_sim DESC, corpus_vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY vec_id) AS n_corpus_matches
+         |  FROM flags) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
     // the kNN graph replayed from the same banded-signature candidates:
     // undirected scored pairs mirror into both directions, per-source

@@ -56,6 +56,28 @@ object CorpusStream {
         .json(streamDir),
       spark, sfDir, minEstimate = minEstimate, maxDf = maxDf)
 
+  /** REPRESENTATIVE-level streaming near-dup gate — the scale-safe
+    * ingest contract ([[graft.operators.Dedup.nearDupGateRepr]]): one
+    * row per flagged incoming doc (doc_id, corpus_rep, n_corpus_matches,
+    * est_jaccard) instead of one per (incoming, corpus-member) pair.
+    * The per-doc aggregation is a streaming groupBy, but its keys never
+    * span micro-batches — every candidate row of an incoming doc derives
+    * from that doc's single input row, so within-batch state is complete
+    * and each key emits exactly once. Run in UPDATE output mode (an
+    * un-watermarked append would hold rows forever); under the
+    * one-arrival-per-doc ingest contract update ≡ append. */
+  def nearDupGateRepr(
+      spark: SparkSession,
+      sfDir: String,
+      streamDir: String,
+      minEstimate: Double = 0.5,
+      maxDf: Int = 1000): DataFrame =
+    graft.operators.Dedup.nearDupGateRepr(
+      spark.readStream
+        .schema(docSchema)
+        .json(streamDir),
+      spark, sfDir, minEstimate = minEstimate, maxDf = maxDf)
+
   val vecSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
@@ -73,6 +95,21 @@ object CorpusStream {
       streamDir: String,
       threshold: Double = 0.9): DataFrame =
     graft.operators.Dedup.embeddingNearDupGate(
+      spark.readStream
+        .schema(vecSchema)
+        .json(streamDir),
+      spark, sfDir, threshold = threshold)
+
+  /** REPRESENTATIVE-level streaming embedding gate —
+    * [[nearDupGateRepr]]'s contract for vectors, via the shared batch
+    * implementation [[graft.operators.Dedup.embeddingNearDupGateRepr]].
+    * UPDATE output mode; keys (vec_id) never span micro-batches. */
+  def embeddingNearDupGateRepr(
+      spark: SparkSession,
+      sfDir: String,
+      streamDir: String,
+      threshold: Double = 0.9): DataFrame =
+    graft.operators.Dedup.embeddingNearDupGateRepr(
       spark.readStream
         .schema(vecSchema)
         .json(streamDir),

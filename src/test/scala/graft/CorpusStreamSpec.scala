@@ -123,4 +123,82 @@ class CorpusStreamSpec extends SparkSpec {
     // negated vectors never flag
     assert(!streamed.exists(_._1 >= 850000L), "negated vec wrongly flagged")
   }
+
+  test("streaming representative-level gates match the batch repr mode, exactly once") {
+    import spark.implicits._
+    // repr mode is a per-incoming-doc aggregation; every candidate row of
+    // a doc derives from its single input row, so keys never span
+    // micro-batches and update mode emits each key exactly once. Stage
+    // incoming across several json chunks to prove it.
+    val corpusTexts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(8)
+    val incoming =
+      corpusTexts.zipWithIndex.map { case ((_, t), i) => (900000L + i, t) } ++
+        (0 until 5).map(i =>
+          (950000L + i, s"qqwzx$i entirely novel payload nothing shared " +
+            s"with corpus zebra$i quark$i flux$i jolt$i vex$i nymph$i"))
+    val incomingDf = incoming.toSeq.toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("neardup_repr_stream").toString
+    incomingDf.repartition(3).write.mode("overwrite").json(dir)
+
+    val q = CorpusStream.nearDupGateRepr(spark, sfDir, dir)
+      .writeStream
+      .format("memory")
+      .queryName("neardup_repr_spec")
+      .outputMode("update") // per-key agg; keys never recur across batches
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("neardup_repr_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.map(_._1).distinct.length == streamed.length,
+      s"repr gate emitted a doc twice: ${streamed.toSeq.sortBy(_._1)}")
+    val batch = Dedup.nearDupGateRepr(incomingDf, spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSet == batch.toSet,
+      s"stream/batch repr divergence: ${streamed.toSet.diff(batch.toSet).take(5)} / " +
+        s"${batch.toSet.diff(streamed.toSet).take(5)}")
+    // every exact copy flags once at est 1.0 with a positive corpus count
+    corpusTexts.zipWithIndex.foreach { case ((_, _), i) =>
+      val row = streamed.find(_._1 == 900000L + i)
+      assert(row.nonEmpty, s"copy ${900000L + i} not flagged")
+      assert(row.get._4 == 1.0 && row.get._3 >= 1L, s"bad repr row: $row")
+    }
+    assert(!streamed.exists(_._1 >= 950000L), "novel doc wrongly flagged")
+
+    // embedding twin: copies of corpus vectors flag once, negations never
+    val corpusVecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).take(6)
+    val vin: Seq[(Long, Array[Float])] =
+      corpusVecs.toSeq.zipWithIndex
+        .map { case ((_, v), i) => (800000L + i, v) } ++
+        corpusVecs.take(3).zipWithIndex
+          .map { case ((_, v), i) => (850000L + i, v.map(x => -x)) }
+    val vinDf = vin.toDF("vec_id", "embedding")
+    val vdir = Files.createTempDirectory("embgate_repr_stream").toString
+    vinDf.repartition(3).write.mode("overwrite").json(vdir)
+    val vq = CorpusStream.embeddingNearDupGateRepr(spark, sfDir, vdir)
+      .writeStream
+      .format("memory")
+      .queryName("embedding_repr_spec")
+      .outputMode("update")
+      .start()
+    try vq.processAllAvailable()
+    finally vq.stop()
+    val vstreamed = spark.table("embedding_repr_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(vstreamed.map(_._1).distinct.length == vstreamed.length)
+    val vbatch = Dedup.embeddingNearDupGateRepr(vinDf, spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(vstreamed.toSet == vbatch.toSet,
+      s"stream/batch embedding repr divergence: " +
+        s"${vstreamed.toSet.diff(vbatch.toSet).take(5)} / " +
+        s"${vbatch.toSet.diff(vstreamed.toSet).take(5)}")
+    assert(vstreamed.count(_._1 < 850000L) == corpusVecs.length,
+      s"not all copies flagged: ${vstreamed.toSeq.sortBy(_._1)}")
+    assert(!vstreamed.exists(_._1 >= 850000L), "negated vec wrongly flagged")
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.Mersenne61
 import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.unsafe.types.UTF8String
 
 class TextDedupSpec extends SparkSpec {
@@ -508,5 +509,56 @@ class TextDedupSpec extends SparkSpec {
       s"derived \\ expansion = ${(derived -- viaExpansion).toSeq.sorted.take(10)}; " +
         s"expansion \\ derived = ${(viaExpansion -- derived).toSeq.sorted.take(10)}")
     assert(viaExpansion.nonEmpty, "vacuous: the corpus has no near-dup pairs")
+  }
+
+  test("nearDupGateRepr collapses the pair mode exactly: flags, counts, rep, est") {
+    // the scale-safe gate contract (r11): ONE row per flagged incoming
+    // doc. Pin full parity with the member-pair mode on the graded
+    // incoming slice — same flag set, count = the pair mode's per-doc row
+    // count, est = per-doc max, rep = the min corpus member id among
+    // max-est rows (= the best-matching group's representative, because a
+    // representative IS its group's minimum member).
+    val incoming = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    val pairs = Dedup.nearDupGate(incoming, spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val repr = Dedup.nearDupGateRepr(incoming, spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(repr.nonEmpty, "vacuous: the slice flags nothing")
+    assert(repr.map(_._1).distinct.length == repr.length,
+      "repr mode emitted a doc twice")
+    assert(repr.map(_._1).toSet == pairs.map(_._1).toSet,
+      "repr flag set != pair-mode flag set")
+    val byDoc = pairs.groupBy(_._1)
+    repr.foreach { case (doc, rep, n, est) =>
+      val p = byDoc(doc)
+      assert(n == p.length.toLong, s"doc $doc: count $n != ${p.length} pair rows")
+      val maxEst = p.map(_._3).max
+      assert(est == maxEst, s"doc $doc: est $est != max $maxEst")
+      val expectRep = p.filter(_._3 == maxEst).map(_._2).min
+      assert(rep == expectRep, s"doc $doc: rep $rep != $expectRep")
+    }
+  }
+
+  test("embeddingNearDupGateRepr collapses the pair mode exactly") {
+    val incoming = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") % 10 === 3)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val pairs = Dedup.embeddingNearDupGate(incoming, spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val repr = Dedup.embeddingNearDupGateRepr(incoming, spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(repr.nonEmpty, "vacuous: the slice flags nothing")
+    assert(repr.map(_._1).distinct.length == repr.length)
+    assert(repr.map(_._1).toSet == pairs.map(_._1).toSet)
+    val byVec = pairs.groupBy(_._1)
+    repr.foreach { case (vec, rep, n, cos) =>
+      val p = byVec(vec)
+      assert(n == p.length.toLong, s"vec $vec: count $n != ${p.length}")
+      val maxCos = p.map(_._3).max
+      assert(cos == maxCos, s"vec $vec: cos $cos != max $maxCos")
+      assert(rep == p.filter(_._3 == maxCos).map(_._2).min, s"vec $vec: rep $rep")
+    }
   }
 }
