@@ -266,11 +266,25 @@ object SignLsh {
   * test, so every sig bit is unchanged. Assumes dense non-null embedding
   * arrays (the same contract as cosine_sim and every other vector
   * kernel here). */
+object SignLshSigs {
+  /** The guaranteed-duplicate-free plane budget of the (a, offset)
+    * enumeration below: dim axis planes + dim planes per pairwise offset
+    * o, collision-free while o and its mirror (dim − o − 2) cannot both
+    * be enumerated — i.e. offsets up to (dim − 2)/2 − 1. Beyond that, an
+    * unordered pair {a, c} with both coordinates even would enumerate
+    * sign(x[a]+x[c]) twice (the op is chosen by a's parity), wasting sig
+    * bits; the dim² bound previously permitted that region. */
+  def maxDistinctPlanes(dim: Int): Int =
+    dim + dim * math.max(0, (dim - 2) / 2)
+}
+
 case class SignLshSigs(child: Expression, bands: Int, bitsPerBand: Int, dim: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(bitsPerBand <= 31, s"band sigs pack into an int: $bitsPerBand")
-  require(bands * bitsPerBand <= dim * dim,
-    s"plane budget ${bands}x$bitsPerBand exceeds dim^2 = ${dim * dim}")
+  require(bands * bitsPerBand <= SignLshSigs.maxDistinctPlanes(dim),
+    s"plane budget ${bands}x$bitsPerBand exceeds the distinct-plane " +
+      s"bound ${SignLshSigs.maxDistinctPlanes(dim)} for dim=$dim " +
+      "(mirrored same-parity pairs would duplicate hyperplanes)")
 
   override def prettyName: String = "sign_lsh_sigs"
   override def inputTypes = Seq(ArrayType(FloatType))

@@ -19,11 +19,17 @@ object AnnEvalDump {
     // (n_queries, k, mean_recall, min_recall)
     val fams = Seq("ivf" -> "ann_eval", "lsh" -> "ann_eval_lsh",
       "pq" -> "ann_eval_pq")
-    var nq, k = 0L
+    var nq, k = -1L
     val parts = fams.map { case (fam, q) =>
       val r = SparkEntry.queries(q)(spark, sfDir).collect().head
-      nq = r.getLong(r.fieldIndex("n_queries"))
-      k = r.getAs[Number]("k").longValue()
+      val fnq = r.getLong(r.fieldIndex("n_queries"))
+      val fk = r.getAs[Number]("k").longValue()
+      // the top-level n_queries/k claim to describe ALL families — a
+      // divergence must fail the dump, not be silently last-wins
+      require(nq < 0 || (fnq == nq && fk == k),
+        s"family $fam reports n_queries=$fnq k=$fk, prior families " +
+          s"reported n_queries=$nq k=$k — per-family divergence")
+      nq = fnq; k = fk
       s""""$fam":{"mean_recall":${s4(r.getDouble(r.fieldIndex("mean_recall")))},"min_recall":${s4(r.getDouble(r.fieldIndex("min_recall")))}}"""
     }
     println(s"""{"metric":"ann_eval_recall","sf":"$sfDir","n_queries":$nq,"k":$k,"families":{${parts.mkString(",")}}}""")
