@@ -35,10 +35,18 @@ object GraftSession {
   }
 
   def local(cores: Int): SparkSession = {
+    // Local default: one shuffle partition per core. On a real cluster
+    // this is 2-3× total cores so a reduce task's working set fits the
+    // per-task memory budget — SPARK_GRAFT_SHUFFLE_PARTITIONS overrides
+    // locally to measure exactly that effect (the sf100 q3_join probe:
+    // 32 partitions over a 7.9 GB shuffle read = ~250 MB compressed per
+    // task, 32 GB in-memory spill; at 96 the same join spills ~nothing)
+    val shufflePartitions = sys.env
+      .getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString)
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // Floor on scan parallelism for small-but-dense inputs. The dup-heavy
       // corpora compress ~100:1, so a CPU-heavy scan stage (featurize,
       // simhash, quality) can arrive as 1-2 byte-range splits and serialize
