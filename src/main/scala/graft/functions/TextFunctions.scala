@@ -88,6 +88,66 @@ object TextOps {
   }
 }
 
+/** One-pass multi-set marker counter: for N marker word-sets (stopword
+  * lists, per-language marker lists), count per set how many tokens of a
+  * document belong to it — one hash lookup per token instead of N
+  * interpreted `filter(toks, t -> array_contains(set, t))` higher-order
+  * passes (Spark HOFs don't participate in whole-stage codegen, and
+  * `array_contains` of a literal array is a linear scan per token: the
+  * sf100 stage probe measured langid's 5-pass formulation at 12× the cost
+  * of the single-pass quality scan over the same corpus). A marker may
+  * appear in several sets; each membership counts. The map builds lazily
+  * per JVM from the serializable word sets. */
+class MarkerLookup(val sets: Array[Array[String]]) extends Serializable {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  @transient private lazy val map: java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    var i = 0
+    while (i < sets.length) {
+      sets(i).foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(i) else prev :+ i)
+      }
+      i += 1
+    }
+    m
+  }
+  def count(toks: ArrayData): ArrayData = {
+    val c = new Array[Int](sets.length)
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val hit = map.get(toks.getUTF8String(i))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { c(hit(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(c)
+  }
+}
+
+/** marker_counts(tokens): per-set marker hit counts as array<int>, one
+  * codegen'd pass (see [[MarkerLookup]]). The lookup rides as a codegen
+  * reference object like the BPE merge table. */
+case class MarkerCounts(child: Expression, lookup: MarkerLookup)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "marker_counts"
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    lookup.count(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("markerLookup", lookup,
+      "graft.functions.MarkerLookup")
+    defineCodeGen(ctx, ev, c => s"$l.count($c)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object BpeOps {
   /** Apply a ranked merge table to one separator-delimited symbol
     * string: one `String.replace` pass per merge, in rank order —
@@ -153,6 +213,8 @@ object TextFunctions {
   def applyBpeMerges(
       x: Column, pats: Array[String], reps: Array[String]): Column =
     col(ApplyBpeMerges(expr(x), pats, reps))
+  def markerCounts(x: Column, sets: Seq[Seq[String]]): Column =
+    col(MarkerCounts(expr(x), new MarkerLookup(sets.map(_.toArray).toArray)))
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Bridge.register(spark, "poly_fingerprint", es => PolyFingerprint(es.head))
 }

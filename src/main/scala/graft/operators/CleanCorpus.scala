@@ -24,25 +24,27 @@ object CleanCorpus {
       spark: SparkSession,
       sfDir: String,
       minQuality: Double = 0.5): DataFrame = {
-    val markers = TextAnalysis.langMarkers.toMap
-    def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("array(", ", ", ")")
-    val stop = arr(Seq("the", "a", "and", "of", "to", "in", "is", "it"))
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    // stopwords + all five language marker sets count in ONE codegen'd
+    // token pass (the native MarkerCounts expression langid/quality use):
+    // mc[0] = stop hits, mc[1] = en, mc[2..] = the other languages in
+    // langMarkers order
+    val sets: Seq[Seq[String]] = stop +: TextAnalysis.langMarkers.map(_._2)
 
     val scored = Tables.documents(spark, sfDir)
       .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
-      .withColumn("n_stop",
-        expr(s"size(filter(toks, t -> array_contains($stop, t)))"))
+      .withColumn("mc",
+        graft.functions.TextFunctions.markerCounts(col("toks"), sets))
+      .withColumn("n_stop", col("mc").getItem(0))
       .withColumn("quality",
         TextAnalysis.round4(
           lit(0.5) * least(lit(1.0), size(col("toks")) / lit(60.0)) +
           lit(0.3) * (lit(1.0) - col("n_stop") / size(col("toks"))) +
           lit(0.2) * least(lit(1.0),
             (length(col("text")) / size(col("toks"))) / lit(8.0))))
-      .withColumn("c_en",
-        expr(s"size(filter(toks, t -> array_contains(${arr(markers("en"))}, t)))"))
+      .withColumn("c_en", col("mc").getItem(1))
       .withColumn("c_other", greatest(
-        markers.keys.filterNot(_ == "en").toSeq.map(l =>
-          expr(s"size(filter(toks, t -> array_contains(${arr(markers(l))}, t)))")): _*))
+        (2 until sets.length).map(i => col("mc").getItem(i)): _*))
 
     // the distinct doc_b side derived from the unique-level pair table —
     // never the member-level expansion (quadratic in copy count; r10)
