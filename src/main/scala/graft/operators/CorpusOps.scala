@@ -209,6 +209,34 @@ object CorpusOps {
     * tokenizer is the eventual constant-factor upgrade behind the same
     * expression seam, with the contract (greedy ranked merging, pinned
     * by BpeTrainSpec's scan-with-skip reference) unchanged. */
+  /** One row per byte-distinct `text` — (k = md5(text), uid = min member
+    * id, text) — with a (uid, doc_id) member map alongside. The
+    * EXACT-text twin of the dedup family's normalized unique table: any
+    * per-document computation that is a deterministic function of `text`
+    * can run once per distinct payload and expand by an id-only join —
+    * sound even for whitespace-SENSITIVE transforms (the BPE
+    * pre-tokenizer distinguishes " a" from "a", which the dedup
+    * normalization folds, so [[graft.operators.Dedup]]'s unique table
+    * cannot be reused here). Costs one corpus shuffle once per session
+    * (materialized); collapses work by the duplicate factor on the
+    * dup-heavy corpora these ops target. */
+  private def exactUniqueDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.materialized(
+      Tables.documents(spark, sfDir)
+        .select(md5(col("text")).as("k"), col("doc_id"), col("text"))
+        .groupBy(col("k"))
+        .agg(min(col("doc_id")).as("uid"),
+          min_by(col("text"), col("doc_id")).as("text")),
+      s"uniqexact|$sfDir")
+
+  private def exactUniqueMembers(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.materialized(
+      Tables.documents(spark, sfDir)
+        .select(md5(col("text")).as("k"), col("doc_id"))
+        .join(exactUniqueDocs(spark, sfDir).select(col("k"), col("uid")), "k")
+        .select(col("uid"), col("doc_id")),
+      s"uniqexactmembers|$sfDir")
+
   def bpeTokenize(
       spark: SparkSession,
       sfDir: String,
@@ -216,22 +244,27 @@ object CorpusOps {
     val us = BpeSep
     val wordPattern = BpeWordPattern
     val merges = trainedMerges(spark, sfDir, nMerges)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
+    // UNIQUE-FIRST over byte-identical texts (r12): the per-word merge
+    // application is the expensive stage and is a pure function of the
+    // text, so it runs once per distinct payload; members join by id last
+    exactUniqueDocs(spark, sfDir)
+      .select(col("uid"),
         explode(
           regexp_extract_all(lower(col("text")), lit(wordPattern), lit(0)))
           .as("word"))
-      .select(col("doc_id"),
+      .select(col("uid"),
         applyMerges(
           concat(lit(us), array_join(split(col("word"), ""), us + us),
             lit(us)),
           merges).as("merged"))
       // splitting the wrapped form on the double separator yields exactly
       // one element per symbol; integer-exact
-      .select(col("doc_id"),
+      .select(col("uid"),
         size(split(col("merged"), us + us)).cast("long").as("n_syms"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("uid"))
       .agg(count(lit(1)).as("n_pre"), sum(col("n_syms")).as("n_merged"))
+      .join(exactUniqueMembers(spark, sfDir), "uid")
+      .select(col("doc_id"), col("n_pre"), col("n_merged"))
   }
 
   /** Deterministic training-order shuffle: every document gets a

@@ -176,8 +176,21 @@ object RagContext {
 
   private def assemble(
       spark: SparkSession, sfDir: String, top: DataFrame): DataFrame = {
+    import spark.implicits._
+    // The top-k hit set is query-RESULT state — k rows, bounded by
+    // construction, the same class as the collected query vector — so
+    // collect it and push the id set into the documents scan as an In
+    // filter: parquet row-group stats prune the point lookup to the
+    // touched groups, where the previous broadcast-join formulation
+    // probed a FULL corpus scan to fetch k texts (at sf100 that scan was
+    // the whole cost of rag_text/build_context: 5M rows read for 3).
+    // Collecting here makes context construction eager, like the other
+    // bounded query-state collects (knn_mmr's fetchK, searchMetrics).
+    val hits = top.select(col("doc_id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val docs = Tables.documents(spark, sfDir)
-    broadcast(top)
+      .where(col("doc_id").isin(hits.map(_._1): _*))
+    broadcast(hits.toDF("doc_id", "score"))
       .join(docs, Seq("doc_id"))
       .select(col("doc_id"), col("score"), col("text"))
       .groupBy(lit(0).as("query_id"))

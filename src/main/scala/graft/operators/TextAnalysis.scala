@@ -310,11 +310,15 @@ object TextAnalysis {
     * risk is per distinct count value, pinned by the oracle replaying
     * the same quantization).
     *
-    * Scale shape: the unigram table is one token-keyed aggregate
-    * (map-side partial, vocab-sized result); `n_total` is a SEPARATE
-    * 1-row map-only aggregate (`sum(size(tokens))` — no explode, no
-    * shuffle) cross-joined back, the same pattern as [[CorpusOps.mix]] —
-    * not a single-partition window over the vocab, which would serialize
+    * Scale shape: UNIQUE-FIRST (r12) — tokenization, the vocab
+    * aggregate (w-weighted, value-identical) and the scoring
+    * join/aggregate all run over one row per DISTINCT text, expanded to
+    * members by an id-only join last; the unigram table is one
+    * token-keyed aggregate (map-side partial, vocab-sized result);
+    * `n_total` is a SEPARATE 1-row map-only aggregate
+    * (`sum(size(tokens)·w)` — no explode, no shuffle) cross-joined
+    * back, the same pattern as [[CorpusOps.mix]] — not a
+    * single-partition window over the vocab, which would serialize
     * (and buffer) a web-scale heavy-tail vocabulary through one task.
     * The scoring join is UNHINTED: a tokenizer-input vocab is small and
     * AQE broadcasts it from its measured size, but a raw unigram table
@@ -322,31 +326,43 @@ object TextAnalysis {
     * would OOM the driver; a shuffle-hash join on `token` is the correct
     * fallback shape there. */
   def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
+    // UNIQUE-FIRST (r12, the dedup family's design rule applied to
+    // scoring): exact copies share the token stream — same normalized
+    // text ⟹ same lower-alnum token sequence, since the normalization
+    // only folds case and whitespace and the tokenizer reads neither —
+    // so tokenize and score ONCE per distinct text with copy weight w,
+    // and expand per member LAST (an id-only join). Vocab counts are
+    // w-weighted sums, value-identical to the doc-level aggregate, so
+    // the materialized model table and the graded output are unchanged
+    // bit for bit; what changes is that both token shuffles (vocab
+    // aggregate + scoring join/aggregate) move unique-level rows —
+    // corpus/dup-factor fewer (sf100: ~500k instead of ~500M).
+    val uniq = Dedup.uniqueDocs(spark, sfDir)
+    val utoks = uniq
+      .select(col("doc_id").as("uid"), col("w"),
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
           .as("token"))
-    // one extra map-only corpus pass (counts token-array sizes without
-    // exploding) — cheaper than either re-aggregating the vocab branch
-    // twice or the single-task vocab window it replaces
-    val nTotal = Tables.documents(spark, sfDir)
-      .select(size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
-        .cast("long").as("nt"))
+    // one extra map-only pass over the unique texts (counts token-array
+    // sizes without exploding), w-weighted to the doc-level total
+    val nTotal = uniq
+      .select((size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long") * col("w")).as("nt"))
       .agg(sum(col("nt")).as("n_total"))
     // the unigram table is per-corpus MODEL state (like the trained
     // centroids and the pair tables): materialize it once per corpus so
     // warm calls pay one scoring scan, not the vocab aggregate + the
     // n_total pass per call (r9, same keyed session-temp pattern)
     val vocab = Dedup.materialized(
-      toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      utoks.groupBy(col("token")).agg(sum(col("w")).as("n"))
         .crossJoin(broadcast(nTotal)) // 1-row aggregate — bounded by design
         .select(col("token"),
           floor(log(col("n") / col("n_total")) * 10000 + lit(0.5))
             .cast("long").as("logq")),
       s"unigram|$sfDir")
-    toks.join(vocab, "token")
-      .groupBy(col("doc_id"))
+    utoks.join(vocab, "token")
+      .groupBy(col("uid"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("logq")).as("sum_logq"))
+      .join(Dedup.uniqueMembers(spark, sfDir), "uid")
       .select(col("doc_id"), col("n_tokens"), col("sum_logq"),
         round4(col("sum_logq") / (col("n_tokens") * lit(10000.0)))
           .as("avg_logprob"))
