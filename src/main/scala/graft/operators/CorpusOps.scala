@@ -220,7 +220,7 @@ object CorpusOps {
     * cannot be reused here). Costs one corpus shuffle once per session
     * (materialized); collapses work by the duplicate factor on the
     * dup-heavy corpora these ops target. */
-  private def exactUniqueDocs(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def exactUniqueDocs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.materialized(
       Tables.documents(spark, sfDir)
         .select(md5(col("text")).as("k"), col("doc_id"), col("text"))
@@ -229,7 +229,7 @@ object CorpusOps {
           min_by(col("text"), col("doc_id")).as("text")),
       s"uniqexact|$sfDir")
 
-  private def exactUniqueMembers(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def exactUniqueMembers(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.materialized(
       Tables.documents(spark, sfDir)
         .select(md5(col("text")).as("k"), col("doc_id"))

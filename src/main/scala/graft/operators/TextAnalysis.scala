@@ -233,17 +233,32 @@ object TextAnalysis {
       excludeDocId: Long = 0L,
       dim: Int = 64): DataFrame = {
     val qv = typedLit(qDense)
-    // the whole search is one map-only scan + TakeOrderedAndProject: dense
-    // per-doc weights fold against the broadcast query vector (exact
-    // integer dot), no shuffle anywhere
-    denseWeights(spark, sfDir, dim)
-      .where(col("doc_id") =!= excludeDocId)
+    // UNIQUE-FIRST (r12): the hashed weight vector is a function of the
+    // lower-alnum token stream, which the dedup normalization preserves
+    // (it folds only case and whitespace, which the tokenizer ignores) —
+    // so the exact-integer dot and norm compute once per DISTINCT text
+    // and members join by id BEFORE the top-k. The expansion rows are
+    // skinny (id, score) and the k-selection (score desc, doc_id) sees
+    // exactly the doc-level candidate set, with the query-doc exclusion
+    // and the norm2 > 0 eligibility applied where they belong (member /
+    // unique level respectively). Scoring work falls by the corpus
+    // duplicate factor; a fully diverse corpus pays one id-only join
+    // over the same scan.
+    val uscored = graft.operators.Dedup.uniqueDocs(spark, sfDir)
+      .select(col("doc_id").as("uid"),
+        transform(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"),
+          t => TextFunctions.polyFingerprint(t)).as("hs"))
+      .select(col("uid"), TextFunctions.hashingFeaturize(col("hs"), dim).as("ws"))
       .withColumn("qv", qv)
-      .select(col("doc_id"),
+      .select(col("uid"),
         expr("aggregate(zip_with(ws, qv, (x, q) -> x.w * q), 0L, (s, v) -> s + v)")
           .as("dot"),
         expr("aggregate(ws, 0L, (s, x) -> s + x.w * x.w)").as("norm2"))
       .where(col("norm2") > 0)
+    graft.operators.Dedup.uniqueMembers(spark, sfDir)
+      .where(col("doc_id") =!= excludeDocId)
+      .join(uscored, "uid")
       .select(col("doc_id"),
         round4(col("dot") /
           sqrt(col("norm2").cast("double") * lit(qNorm2.toDouble)))
@@ -274,20 +289,32 @@ object TextAnalysis {
       overlap: Int = 30): DataFrame = {
     val (qDense, qNorm2) = queryWeights(spark, sfDir, queryDocId, dim)
     val qv = typedLit(qDense)
-    chunk(spark, sfDir, size, overlap)
-      .where(col("doc_id") =!= queryDocId)
-      .select(col("doc_id"), col("chunk_id"),
+    // UNIQUE-FIRST over BYTE-identical texts (r12): chunk boundaries are
+    // character offsets into the RAW text, so the whitespace-folding
+    // dedup normalization is unsound here — the exact-text (md5) unique
+    // table is the sound collapse, and chunking + featurizing + scoring
+    // run once per distinct payload. Members expand by id before the
+    // top-k; (chunk_id, score) are per-unique, the ordering and the
+    // query-doc exclusion apply at member level exactly as the doc-level
+    // scan had them.
+    val uscored = TextAnalysis.chunkDocs(
+      CorpusOps.exactUniqueDocs(spark, sfDir)
+        .select(col("uid"), col("text")), size, overlap)
+      .select(col("uid"), col("chunk_id"),
         transform(
           expr("regexp_extract_all(lower(chunk), '[a-z0-9]+', 0)"),
           t => TextFunctions.polyFingerprint(t)).as("hs"))
-      .select(col("doc_id"), col("chunk_id"),
+      .select(col("uid"), col("chunk_id"),
         TextFunctions.hashingFeaturize(col("hs"), dim).as("ws"))
       .withColumn("qv", qv)
-      .select(col("doc_id"), col("chunk_id"),
+      .select(col("uid"), col("chunk_id"),
         expr("aggregate(zip_with(ws, qv, (x, q) -> x.w * q), 0L, (s, v) -> s + v)")
           .as("dot"),
         expr("aggregate(ws, 0L, (s, x) -> s + x.w * x.w)").as("norm2"))
       .where(col("norm2") > 0)
+    CorpusOps.exactUniqueMembers(spark, sfDir)
+      .where(col("doc_id") =!= queryDocId)
+      .join(uscored, "uid")
       .select(col("doc_id"), col("chunk_id"),
         round4(col("dot") /
           sqrt(col("norm2").cast("double") * lit(qNorm2.toDouble)))
@@ -455,19 +482,27 @@ object TextAnalysis {
       k: Int = 10): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "bm25 terms must be non-empty and unique (duplicates double-count idf)")
-    val toks = Tables.documents(spark, sfDir)
+    // UNIQUE-FIRST (r12): dl and the per-term tfs are functions of the
+    // lower-alnum token stream (normalization-stable), so they compute
+    // once per DISTINCT text with copy weight w; the cached corpus stats
+    // become w-weighted sums (value-identical to the doc-level
+    // aggregate), scoring runs per unique, and members join by id before
+    // the top-k.
+    val toks = Dedup.uniqueDocs(spark, sfDir)
       .withColumn("tk", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
       .select(
-        (col("doc_id") +: size(col("tk")).cast("long").as("dl") +:
+        (col("doc_id").as("uid") +: col("w") +:
+          size(col("tk")).cast("long").as("dl") +:
           terms.zipWithIndex.map { case (t, i) =>
             // typed lit, not string interpolation: a term containing a
             // quote must compare (and never match), not break the parse
             size(filter(col("tk"), x => x === lit(t))).cast("long")
               .as(s"tf$i")
           }): _*)
-    val aggs = count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+    val aggs = sum(col("w")).as("n") +:
+      sum(col("dl") * col("w")).as("sumdl") +:
       terms.indices.map(i =>
-        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+        sum(when(col(s"tf$i") > 0, col("w")).otherwise(0L)).as(s"df$i"))
     // corpus stats are per-(corpus, terms) model state — one driver-side
     // row, cached like the trained centroids so warm calls pay only the
     // scoring scan, not a second corpus aggregate (r9)
@@ -489,9 +524,11 @@ object TextAnalysis {
     }.reduce(_ + _)
     toks
       .where(terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
-      .select(col("doc_id"), col("dl"),
+      .select(col("uid"), col("dl"),
         terms.indices.map(i => col(s"tf$i")).reduce(_ + _).as("n_hit"),
         round4(score).as("score"))
+      .join(Dedup.uniqueMembers(spark, sfDir), "uid")
+      .select(col("doc_id"), col("dl"), col("n_hit"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

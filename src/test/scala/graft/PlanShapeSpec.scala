@@ -25,24 +25,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"quantized plan gained a shuffle:\n$plan")
   }
 
-  test("text search is map-only: dense featurize + TakeOrdered, no exchange") {
-    val plan = executedPlan(TextAnalysis.textSearch(spark, sfDir))
-    assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(!plan.contains("Exchange"), s"text_search plan gained a shuffle:\n$plan")
+  // The lexical search family is UNIQUE-FIRST since r12: featurize/tf
+  // scoring runs once per distinct text (the materialized unique table —
+  // the scans below read its session-temp parquet, not documents), and
+  // the only join is the id-only member expansion feeding the top-k.
+  // The pins assert exactly that shape: a TakeOrdered top-k, exactly one
+  // join, and no aggregate exchange — the member join's exchanges (or
+  // AQE's broadcast of the k-scored unique side) are the only ones
+  // allowed, so a regression that reintroduces corpus-side shuffled
+  // aggregation still fails.
+  private def assertUniqueFirstTopK(name: String, plan: String): Unit = {
+    // an AdaptiveSparkPlan dump repeats the tree under "== Initial Plan
+    // ==" — count nodes in the final section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("TakeOrderedAndProject"), plan)
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(finalPlan).size
+    assert(joins == 1,
+      s"$name must have exactly the member-expansion join, found $joins:\n$plan")
+    assert(!finalPlan.contains("HashAggregate"),
+      s"$name scoring must stay non-aggregating (in-row fold):\n$plan")
   }
 
-  test("chunk search fuses chunk+featurize+score into one scan: no exchange") {
-    val plan = executedPlan(TextAnalysis.chunkSearch(spark, sfDir))
-    assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(!plan.contains("Exchange"),
-      s"chunk_search plan gained a shuffle:\n$plan")
+  test("text search is unique-first: in-row featurize, one member join, TakeOrdered") {
+    assertUniqueFirstTopK("text_search",
+      executedPlan(TextAnalysis.textSearch(spark, sfDir)))
   }
 
-  test("bm25 scoring is a map-only scan over literal terms: no exchange, no join") {
-    val plan = executedPlan(TextAnalysis.bm25(spark, sfDir))
-    assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(!plan.contains("Exchange"), s"bm25 plan gained a shuffle:\n$plan")
-    assert(!plan.contains("Join"), s"bm25 corpus side must not join:\n$plan")
+  test("chunk search is unique-first: fused chunk+featurize+score, one member join") {
+    assertUniqueFirstTopK("chunk_search",
+      executedPlan(TextAnalysis.chunkSearch(spark, sfDir)))
+  }
+
+  test("bm25 scoring is unique-first: in-row tf over literal terms, one member join") {
+    assertUniqueFirstTopK("bm25_search",
+      executedPlan(TextAnalysis.bm25(spark, sfDir)))
   }
 
   test("text_featurize is map-only: no Sort, no Exchange above the scan") {
