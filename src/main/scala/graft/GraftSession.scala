@@ -35,18 +35,30 @@ object GraftSession {
   }
 
   def local(cores: Int): SparkSession = {
-    // Local default: one shuffle partition per core. On a real cluster
-    // this is 2-3× total cores so a reduce task's working set fits the
-    // per-task memory budget — SPARK_GRAFT_SHUFFLE_PARTITIONS overrides
-    // locally to measure exactly that effect (the sf100 q3_join probe:
-    // 32 partitions over a 7.9 GB shuffle read = ~250 MB compressed per
-    // task, 32 GB in-memory spill; at 96 the same join spills ~nothing)
+    // Shuffle sizing is adaptive-first: every shuffle STARTS at 3× cores
+    // (initialPartitionNum below) and AQE coalesces small ones back to
+    // core-count parallelism from measured stage sizes. The 3× start is
+    // the classic 2-3×-total-cores cluster guidance made the default —
+    // the sf100 stage probes showed why one-partition-per-core cannot be
+    // the start: q3_join's 7.9 GB shuffle read over 32 partitions is
+    // ~250 MB compressed per task and spilled 32 GB memory / 7.3 GB disk
+    // with uniform task times (spill, not skew); the same join at 96
+    // start partitions spills nothing (wall 56 → 38 s, q5/q9 alike,
+    // bench/r12_spill_sf100.json). Small-SF queries do not pay for the
+    // 3× start because coalescing (parallelismFirst, the default) merges
+    // post-shuffle partitions down to core count. shuffle.partitions
+    // remains the non-adaptive fallback floor at one-per-core;
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS pins BOTH knobs for A/B probes.
     val shufflePartitions = sys.env
       .getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores.toString)
+    val initialPartitions = sys.env
+      .getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", (3 * cores).toString)
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartitions)
       // Floor on scan parallelism for small-but-dense inputs. The dup-heavy
       // corpora compress ~100:1, so a CPU-heavy scan stage (featurize,
       // simhash, quality) can arrive as 1-2 byte-range splits and serialize
