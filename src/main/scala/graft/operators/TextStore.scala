@@ -145,19 +145,61 @@ object TextStore {
 
   // ---- chunk store build + search -------------------------------------
 
+  /** UNIQUE-FIRST corpus chunk vectors (r12): the chunk → tokenize →
+    * hash → normalize chain is a pure function of the text BYTES (chunk
+    * offsets index the raw text, so this collapses over byte-identical
+    * payloads — [[CorpusOps.exactUniqueDocs]], the same table
+    * `chunk_search`/`corpus_bpe_tokenize` use), so for the corpus-wide
+    * store builds it runs once per distinct payload and members expand
+    * by an id-only join just before the store write. The expanded frame
+    * is ROW-IDENTICAL to [[chunkVectors]] over the full corpus — same
+    * vec_ids, embeddings, labels, metadata — so the deterministic
+    * training sample (keyed on hash(vec_id), never on physical row
+    * order) picks the same rows, the trained centroids and every probe
+    * result are unchanged, and only the compute collapses by the corpus
+    * duplicate factor. The `add_texts` ingest paths keep the direct
+    * [[chunkVectors]] transform: an ingest batch has no materialized
+    * unique table and its duplicate factor is ~1. */
+  private def corpusChunkVectors(
+      spark: SparkSession, sfDir: String, dim: Int = Dim): DataFrame = {
+    val uchunks = TextAnalysis.chunkDocs(
+        CorpusOps.exactUniqueDocs(spark, sfDir)
+          .select(col("uid"), col("text")), ChunkSize, ChunkOverlap)
+      .select(col("uid"), col("chunk_id"), tokenHashes(col("chunk")).as("hs"))
+      .select(col("uid"), col("chunk_id"),
+        TextFunctions.hashingFeaturize(col("hs"), dim).as("ws"))
+      .withColumn("norm2", norm2Col)
+      .where(col("norm2") > 0)
+      .select(col("uid"), col("chunk_id"), unitVecCol.as("embedding"))
+    // lang is per-DOC state (two byte-identical texts may carry different
+    // tags), so it rides the member side of the expansion, like metadata
+    CorpusOps.exactUniqueMembers(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .join(uchunks, "uid")
+      .select(
+        expr(s"CASE WHEN chunk_id < $ChunkMod THEN doc_id * $ChunkMod + chunk_id " +
+          s"ELSE raise_error('chunk_id overflows the $ChunkIdBits-bit vec_id scheme') END")
+          .cast("long").as("vec_id"),
+        col("chunk_id").cast("int").as("label"),
+        col("embedding"),
+        to_json(struct(col("doc_id"), col("chunk_id"), col("lang")))
+          .as("metadata"))
+  }
+
   /** Build the materialized IVF chunk store: every document chunked,
     * featurized, and written partitioned by nearest centroid — the build
     * that makes [[chunkSearchIvf]] a partition-pruned read instead of
     * the inline [[TextAnalysis.chunkSearch]] full scan. */
   def writeChunkStore(spark: SparkSession, sfDir: String, path: String): Unit =
     VectorIndex.writeVectorStore(spark,
-      chunkVectors(Tables.documents(spark, sfDir)), path)
+      corpusChunkVectors(spark, sfDir), path)
 
   /** LSH-layout twin (bucket-partitioned, data-independent hyperplanes). */
   def writeLshChunkStore(
       spark: SparkSession, sfDir: String, path: String, nPlanes: Int = 8): Unit =
     VectorIndex.writeLshVectorStore(spark,
-      chunkVectors(Tables.documents(spark, sfDir)), path, nPlanes, Dim)
+      corpusChunkVectors(spark, sfDir), path, nPlanes, Dim)
 
   private val chunkStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
