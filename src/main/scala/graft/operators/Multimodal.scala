@@ -146,12 +146,22 @@ object Multimodal {
       // only and makes the encode/decode width the cluster's, not the
       // scan's.
       .repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions(_.map { id =>
-        val w = 16 + (id % 13).toInt * 3
-        val h = 9 + (id % 7).toInt * 5
-        val fmt = if (id % 2 == 0) "png" else "bmp"
-        MediaRecord(id, encodeImage(w, h, fmt))
-      })
+      .mapPartitions { it =>
+        // the ENCODE side is synthetic payload GENERATION (geometry is
+        // id-arithmetic with 13·7·2 distinct classes), not the stage
+        // under test — memoize it per partition so the table's cost is
+        // the decode under test, not repeated generation of identical
+        // bytes. Executor-local, no shuffle, no shared state; the DECODE
+        // side still parses every row's container individually.
+        val cache = collection.mutable.HashMap.empty[(Int, Int, String), Array[Byte]]
+        it.map { id =>
+          val w = 16 + (id % 13).toInt * 3
+          val h = 9 + (id % 7).toInt * 5
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          MediaRecord(id,
+            cache.getOrElseUpdate((w, h, fmt), encodeImage(w, h, fmt)))
+        }
+      }
   }
 
   /** `mm_meta_real` query: the REAL `javax.imageio` decoder
@@ -262,12 +272,19 @@ object Multimodal {
     Tables.documents(spark, sfDir)
       .select(col("doc_id")).as[Long]
       .repartition(spark.sparkContext.defaultParallelism)
-      .mapPartitions(_.map { id =>
-        val w = 12 + (id % 11).toInt * 2
-        val h = 8 + (id % 5).toInt * 3
-        val nf = 1 + (id % 7).toInt
-        MediaRecord(id, encodeAnimatedGif(w, h, nf))
-      })
+      .mapPartitions { it =>
+        // same per-partition generation memo as [[realMediaTable]]: 11·5·7
+        // geometry classes; the multi-frame DECODE still parses every
+        // row's frame directory and rasters individually
+        val cache = collection.mutable.HashMap.empty[(Int, Int, Int), Array[Byte]]
+        it.map { id =>
+          val w = 12 + (id % 11).toInt * 2
+          val h = 8 + (id % 5).toInt * 3
+          val nf = 1 + (id % 7).toInt
+          MediaRecord(id,
+            cache.getOrElseUpdate((w, h, nf), encodeAnimatedGif(w, h, nf)))
+        }
+      }
   }
 
   /** `mm_frames_real` query: frame sampling through a REAL multi-frame
