@@ -104,7 +104,10 @@ class MarkerLookup(val sets: Array[Array[String]]) extends Serializable {
     val m = new java.util.HashMap[UTF8String, Array[Int]]()
     var i = 0
     while (i < sets.length) {
-      sets(i).foreach { w =>
+      // distinct: a word repeated WITHIN one set must count once per
+      // token occurrence, matching the filter/array_contains formulation
+      // this class replaces (cross-SET repeats still each count)
+      sets(i).distinct.foreach { w =>
         val k = UTF8String.fromString(w)
         val prev = m.get(k)
         m.put(k, if (prev == null) Array(i) else prev :+ i)

@@ -24,7 +24,8 @@ object CleanCorpus {
       spark: SparkSession,
       sfDir: String,
       minQuality: Double = 0.5): DataFrame = {
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+    val stop = TextAnalysis.stopwords // the quality replay must count
+    // exactly text_quality's list — one definition, not a copy
     // stopwords + all five language marker sets count in ONE codegen'd
     // token pass (the native MarkerCounts expression langid/quality use):
     // mc[0] = stop hits, mc[1] = en, mc[2..] = the other languages in

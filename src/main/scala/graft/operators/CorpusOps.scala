@@ -186,6 +186,23 @@ object CorpusOps {
       bpeTrain(spark, sfDir, nMerges).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
 
+  /** One row per byte-distinct `text` — (k = md5(text), uid = min member
+    * id, text) — with a (uid, doc_id) member map alongside. The
+    * EXACT-text twin of the dedup family's normalized unique table: any
+    * per-document computation that is a deterministic function of `text`
+    * can run once per distinct payload and expand by an id-only join —
+    * sound even for whitespace-SENSITIVE transforms (the BPE
+    * pre-tokenizer distinguishes " a" from "a", which the dedup
+    * normalization folds, so [[graft.operators.Dedup]]'s unique table
+    * cannot be reused here). Costs one corpus shuffle once per session
+    * (materialized); collapses work by the duplicate factor on the
+    * dup-heavy corpora these ops target. */
+  private[operators] def exactUniqueDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.uniqueDocsBy(spark, sfDir, md5(col("text")), "uniqexact")
+
+  private[operators] def exactUniqueMembers(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.uniqueMembersBy(spark, sfDir, md5(col("text")), "uniqexact")
+
   /** Tokenize the corpus under the TRAINED merge table — the serving
     * half of [[bpeTrain]], closing the vocab → train → tokenize loop:
     * per-document token count after applying the learned merges to every
@@ -209,34 +226,6 @@ object CorpusOps {
     * tokenizer is the eventual constant-factor upgrade behind the same
     * expression seam, with the contract (greedy ranked merging, pinned
     * by BpeTrainSpec's scan-with-skip reference) unchanged. */
-  /** One row per byte-distinct `text` — (k = md5(text), uid = min member
-    * id, text) — with a (uid, doc_id) member map alongside. The
-    * EXACT-text twin of the dedup family's normalized unique table: any
-    * per-document computation that is a deterministic function of `text`
-    * can run once per distinct payload and expand by an id-only join —
-    * sound even for whitespace-SENSITIVE transforms (the BPE
-    * pre-tokenizer distinguishes " a" from "a", which the dedup
-    * normalization folds, so [[graft.operators.Dedup]]'s unique table
-    * cannot be reused here). Costs one corpus shuffle once per session
-    * (materialized); collapses work by the duplicate factor on the
-    * dup-heavy corpora these ops target. */
-  private[operators] def exactUniqueDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.materialized(
-      Tables.documents(spark, sfDir)
-        .select(md5(col("text")).as("k"), col("doc_id"), col("text"))
-        .groupBy(col("k"))
-        .agg(min(col("doc_id")).as("uid"),
-          min_by(col("text"), col("doc_id")).as("text")),
-      s"uniqexact|$sfDir")
-
-  private[operators] def exactUniqueMembers(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.materialized(
-      Tables.documents(spark, sfDir)
-        .select(md5(col("text")).as("k"), col("doc_id"))
-        .join(exactUniqueDocs(spark, sfDir).select(col("k"), col("uid")), "k")
-        .select(col("uid"), col("doc_id")),
-      s"uniqexactmembers|$sfDir")
-
   def bpeTokenize(
       spark: SparkSession,
       sfDir: String,

@@ -56,7 +56,10 @@ object TextAnalysis {
         regexp_extract_all(lower(col("text")), lit(bpePattern), lit(0))))
         .as("n_uniq_bpe_tokens"))
 
-  private val stopwords =
+  /** The ONE stop list: the quality score here and CleanCorpus's replay
+    * of it must count the same words or the two scores silently
+    * diverge. */
+  private[operators] val stopwords =
     Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
   /** 4-dp rounding as explicit double ops: `floor(x·10⁴ + 0.5) / 10⁴`.

@@ -23,7 +23,12 @@ object SpillProbe {
     // only mutated on the listener bus thread, read after the job blocks
     val durs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.ArrayList[Long]]()
     val lines = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
-    var totSpillMem = 0L; var totSpillDisk = 0L
+    // atomics, not captured vars: written on the listener-bus thread and
+    // read on the main thread — a plain LongRef has no happens-before
+    // with the post-sleep read and can legally print 0 for a run that
+    // spilled
+    val totSpillMem = new java.util.concurrent.atomic.AtomicLong()
+    val totSpillDisk = new java.util.concurrent.atomic.AtomicLong()
     def s2(v: Double) = String.format(Locale.ROOT, "%.2f", Double.box(v))
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -35,7 +40,8 @@ object SpillProbe {
         val si = sc.stageInfo
         val m = si.taskMetrics
         if (m == null) return
-        totSpillMem += m.memoryBytesSpilled; totSpillDisk += m.diskBytesSpilled
+        totSpillMem.addAndGet(m.memoryBytesSpilled)
+        totSpillDisk.addAndGet(m.diskBytesSpilled)
         val ds = Option(durs.get(si.stageId))
           .map(a => { val arr = new Array[Long](a.size); var i = 0
             val it = a.iterator; while (it.hasNext) { arr(i) = it.next(); i += 1 }
@@ -50,7 +56,12 @@ object SpillProbe {
             m.shuffleWriteMetrics.bytesWritten > gb ||
             m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead > gb ||
             m.inputMetrics.bytesRead > gb) {
-          lines.add(s"""{"stage":${si.stageId},"name":"${si.name.takeWhile(_ != '\n').take(60)}"""" +
+          // JSON-safe name: stage names embed node descriptions that can
+          // carry quotes/backslashes — strip to a safe charset rather
+          // than emit a line the bench-log scrapers cannot parse
+          val safeName = si.name.takeWhile(_ != '\n').take(60)
+            .map(c => if (c == '"' || c == '\\') '\'' else c)
+          lines.add(s"""{"stage":${si.stageId},"name":"$safeName"""" +
             s""","tasks":${si.numTasks},"input_gb":${s2(m.inputMetrics.bytesRead / gb)}""" +
             s""","shuffle_read_gb":${s2((m.shuffleReadMetrics.remoteBytesRead + m.shuffleReadMetrics.localBytesRead) / gb)}""" +
             s""","shuffle_write_gb":${s2(m.shuffleWriteMetrics.bytesWritten / gb)}""" +
@@ -71,7 +82,7 @@ object SpillProbe {
     lines.forEach(println)
     val gb = 1024.0 * 1024 * 1024
     println(s"""{"metric":"spill_probe","query":"$name","wall_sec":${s2(wall)}""" +
-      s""","total_spill_mem_gb":${s2(totSpillMem / gb)},"total_spill_disk_gb":${s2(totSpillDisk / gb)},"sf":"$sfDir"}""")
+      s""","total_spill_mem_gb":${s2(totSpillMem.get / gb)},"total_spill_disk_gb":${s2(totSpillDisk.get / gb)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
