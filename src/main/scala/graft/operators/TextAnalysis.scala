@@ -172,17 +172,34 @@ object TextAnalysis {
       .select(col("doc_id"),
         TextFunctions.hashingFeaturize(col("hs"), dim).as("ws"))
 
-  def featurize(spark: SparkSession, sfDir: String, dim: Int = 64): DataFrame =
-    denseWeights(spark, sfDir, dim)
-      .select(col("doc_id"),
+  def featurize(spark: SparkSession, sfDir: String, dim: Int = 64): DataFrame = {
+    // UNIQUE-FIRST (r12): the dense weight vector, its norm, and the
+    // per-dimension explosion are all functions of the
+    // normalization-stable token stream, so the regexp/hash/normalize
+    // work — formerly the whole scan — runs once per DISTINCT text. The
+    // exploded per-unique rows (≤ dim per unique, skinny) member-expand
+    // through one id join; the output volume, the true cost of this
+    // operator at scale, is unchanged, and so is every value (the
+    // per-dim weights and the norm ride the join verbatim).
+    val uw = Dedup.uniqueDocs(spark, sfDir)
+      .select(col("doc_id").as("uid"),
+        transform(
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"),
+          t => TextFunctions.polyFingerprint(t)).as("hs"))
+      .select(col("uid"), TextFunctions.hashingFeaturize(col("hs"), dim).as("ws"))
+      .select(col("uid"),
         expr("aggregate(ws, 0L, (s, x) -> s + x.w * x.w)").as("norm2"),
         posexplode(col("ws")).as(Seq("dim", "s")))
       .where(col("s.n") > 0)
-      .select(col("doc_id"), col("dim").cast("int").as("dim"),
+      .select(col("uid"), col("dim").cast("int").as("dim"),
         col("s.w").as("weight"),
         round4(when(col("norm2") > 0,
           col("s.w") / sqrt(col("norm2").cast("double"))).otherwise(lit(0.0)))
           .as("unit_weight"))
+    Dedup.uniqueMembers(spark, sfDir)
+      .join(uw, "uid")
+      .select(col("doc_id"), col("dim"), col("weight"), col("unit_weight"))
+  }
 
   /** End-to-end text retrieval inside the pipeline: featurize the query
     * text ([[featurize]]'s hashing-trick vector, stood in by document

@@ -62,16 +62,27 @@ class PlanShapeSpec extends SparkSpec {
       executedPlan(TextAnalysis.bm25(spark, sfDir)))
   }
 
-  test("text_featurize is map-only: no Sort, no Exchange above the scan") {
-    // VERDICT r5 finding 2: the trailing corpus-sized orderBy was an
-    // oracle-hashing artifact living in the operator — at 100 TB a full
-    // range-partition exchange + sort no consumer needs. The determinism
-    // sort now lives in SparkEntry.hashOrder (verify-time only); the
-    // operator itself must stay a single codegen'd scan.
+  test("text_featurize is unique-first: no Sort, one member join, no aggregate") {
+    // VERDICT r5 finding 2 still pinned: the trailing corpus-sized
+    // orderBy was an oracle-hashing artifact living in the operator — at
+    // 100 TB a full range-partition exchange + sort no consumer needs
+    // (the determinism sort lives in SparkEntry.hashOrder, verify-time
+    // only). r12: the featurize work runs per DISTINCT text and fans out
+    // through the one id-only member join — the join's exchanges are the
+    // only ones allowed, and no aggregate may appear (in-row weight
+    // fold).
     val plan = executedPlan(TextAnalysis.featurize(spark, sfDir))
-    assert(!plan.contains("Sort"), s"featurize plan gained a sort:\n$plan")
-    assert(!plan.contains("Exchange"),
-      s"featurize plan gained a shuffle:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the r5 artifact was an orderBy: it manifests as a range-partition
+    // exchange (a member join may legitimately sort its inputs)
+    assert(!finalPlan.toLowerCase.contains("rangepartitioning"),
+      s"featurize plan gained a global sort exchange:\n$plan")
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(finalPlan).size
+    assert(joins == 1,
+      s"featurize must have exactly the member-expansion join, found $joins:\n$plan")
+    assert(!finalPlan.contains("HashAggregate"),
+      s"featurize scoring must stay non-aggregating:\n$plan")
   }
 
   test("keep-best survives an un-broadcastable verdict set: no forced broadcast") {
