@@ -32,7 +32,15 @@ object CleanCorpus {
     // langMarkers order
     val sets: Seq[Seq[String]] = stop +: TextAnalysis.langMarkers.map(_._2)
 
-    val scored = Tables.documents(spark, sfDir)
+    // UNIQUE-FIRST over BYTE-identical texts (r12): quality's density
+    // term reads the RAW text length, which the dedup normalization
+    // folds (two whitespace-variant copies share a normalized unique but
+    // differ in length) — so the exact-text table is the sound collapse
+    // here, like chunk_search's. Score once per distinct payload, keep
+    // the per-unique verdict, expand to members by id, THEN anti-join
+    // the duplicate ids (a doc-level decision).
+    val uScored = CorpusOps.exactUniqueDocs(spark, sfDir)
+      .select(col("uid"), col("text"))
       .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
       .withColumn("mc",
         graft.functions.TextFunctions.markerCounts(col("toks"), sets))
@@ -46,14 +54,16 @@ object CleanCorpus {
       .withColumn("c_en", col("mc").getItem(1))
       .withColumn("c_other", greatest(
         (2 until sets.length).map(i => col("mc").getItem(i)): _*))
+      .where(col("quality") >= minQuality && col("c_en") >= col("c_other"))
+      .select(col("uid"), col("quality"))
 
     // the distinct doc_b side derived from the unique-level pair table —
     // never the member-level expansion (quadratic in copy count; r10)
     val dupIds = Dedup.duplicateDocIds(spark, sfDir)
       .select(col("doc_id"))
 
-    scored
-      .where(col("quality") >= minQuality && col("c_en") >= col("c_other"))
+    CorpusOps.exactUniqueMembers(spark, sfDir)
+      .join(uScored, "uid")
       .join(dupIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("quality"))
   }
