@@ -74,15 +74,21 @@ object TextAnalysis {
   /** Quality score: length, mean token length, stopword ratio →
     * weighted score in [0,1]. The exact formula is arbitrary but fixed;
     * the DuckDB oracle reproduces it term for term. */
-  def quality(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    // UNIQUE-FIRST over BYTE-identical texts (r12): the whole stat row
+    // is a pure function of the payload, and n_chars reads the RAW
+    // length — which the dedup normalization folds — so the exact-text
+    // table is the sound collapse (the chunk_search precedent); the
+    // per-unique row expands to members by one id join.
+    val u = CorpusOps.exactUniqueDocs(spark, sfDir)
+      .select(col("uid"), col("text"))
       .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_stop",
         graft.functions.TextFunctions.markerCounts(
           col("toks"), Seq(stopwords)).getItem(0))
       .select(
-        col("doc_id"),
+        col("uid"),
         length(col("text")).as("n_chars"),
         col("n_tokens"),
         round4(col("n_stop") / col("n_tokens")).as("stop_ratio"),
@@ -92,6 +98,11 @@ object TextAnalysis {
           lit(0.2) * least(lit(1.0),
             (length(col("text")) / col("n_tokens")) / lit(8.0)))
           .as("quality"))
+    CorpusOps.exactUniqueMembers(spark, sfDir)
+      .join(u, "uid")
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("stop_ratio"), col("quality"))
+  }
 
   /** Stopword-marker language ID. Scores each candidate language by marker
     * hits and takes the argmax (fixed en>de>fr>es>zh tie order). Determinism,
@@ -104,7 +115,11 @@ object TextAnalysis {
     "zh" -> Seq("shi", "bu", "wo", "ni", "hao"))
 
   def langid(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.documents(spark, sfDir)
+    // UNIQUE-FIRST (r12): marker counts and the argmax verdict are
+    // functions of the payload — compute per byte-distinct text (the
+    // same table quality uses), expand to members by id last
+    val base = CorpusOps.exactUniqueDocs(spark, sfDir)
+      .select(col("uid"), col("text"))
       .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
     // all five marker sets count in ONE codegen'd token pass (native
     // MarkerCounts expression) — the previous per-language
@@ -115,7 +130,7 @@ object TextAnalysis {
         graft.functions.TextFunctions.markerCounts(
           col("toks"), langMarkers.map(_._2)))
       .select(
-        col("doc_id") +: langMarkers.zipWithIndex.map {
+        col("uid") +: langMarkers.zipWithIndex.map {
           case ((lang, _), i) => col("mc").getItem(i).as(s"c_$lang")
         }: _*)
     val langs = langMarkers.map(_._1)
@@ -127,8 +142,10 @@ object TextAnalysis {
         acc.when(others.map(o => col(s"c_$lang") >= col(s"c_$o"))
           .reduce(_ && _), lang)
     }
-    scored.select(
-      col("doc_id") +: langs.map(l => col(s"c_$l")) :+ pred.as("pred_lang"): _*)
+    CorpusOps.exactUniqueMembers(spark, sfDir)
+      .join(scored, "uid")
+      .select(
+        col("doc_id") +: langs.map(l => col(s"c_$l")) :+ pred.as("pred_lang"): _*)
   }
 
   /** 61-bit polynomial rolling-hash fingerprint per document (native
