@@ -26,6 +26,7 @@ object GraftSession {
     * surface (`appendStore`/`compactStore`/`recoverStore`) refresh their
     * own serving caches and are unaffected. */
   def invalidateCorpus(sfDir: String): Unit = {
+    operators.Analytics.invalidateCorpus(sfDir)
     operators.Dedup.invalidateCorpus(sfDir)
     operators.CorpusOps.invalidateCorpus(sfDir)
     operators.TextAnalysis.invalidateCorpus(sfDir)
@@ -68,6 +69,10 @@ object GraftSession {
       // safe to ship to a real cluster unchanged.
       .config("spark.sql.files.minPartitionNum", (2 * cores).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // catalog metadata (the bucketed events table) goes to scratch, not
+      // a ./spark-warehouse dir in the caller's working directory
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .config("spark.sql.adaptive.enabled", "true")
       // Broadcast joins come ONLY from explicit hints (by-construction-
       // bounded sets, §6) or AQE's runtime conversion from MEASURED stage

@@ -14,6 +14,48 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  // ---- the user-bucketed events table ---------------------------------
+  // Six queries (session_window, sessionize, rolling, asof, funnel,
+  // retention) require their input CLUSTERED by user_id; reading the raw
+  // parquet makes each of them pay its own full-corpus exchange. The
+  // session materializes ONE bucketed copy (Spark `bucketBy(user_id)` via
+  // saveAsTable — parquet plus catalog bucket metadata, so the scan
+  // reports HashPartitioning(user_id) and EnsureRequirements inserts no
+  // shuffle): the user-keyed family pays the events shuffle once per
+  // corpus per session instead of once per query. This is the storage
+  // answer a 100 TB deployment uses anyway — events live bucketed (or
+  // hash-partitioned by a lakehouse layout) by their primary analysis
+  // key, and the bucket count tracks 2-3× total cores like the shuffle
+  // start. Keyed by (session, corpus): bucket METADATA lives in the
+  // session catalog, so a fresh session rebuilds rather than dangle.
+  private val userEventsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val userEventsSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** See [[graft.GraftSession.invalidateCorpus]]. */
+  private[graft] def invalidateCorpus(sfDir: String): Unit =
+    userEventsCache.keySet.removeIf(_.endsWith(s"|$sfDir"))
+
+  private def userEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}|$sfDir"
+    val tbl = userEventsCache.computeIfAbsent(key, { _ =>
+      val name = s"graft_events_user_${userEventsSeq.incrementAndGet()}"
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_events_user_").toString
+      val buckets = spark.sparkContext.defaultParallelism
+      Tables.events(spark, sfDir)
+        // one write task per bucket: without the repartition EVERY task
+        // writes a file into every bucket (tasks × buckets small files)
+        .repartition(buckets, col("user_id"))
+        .write.format("parquet")
+        .option("path", dir)
+        .bucketBy(buckets, "user_id")
+        .saveAsTable(name)
+      name
+    })
+    spark.table(tbl)
+  }
+
   /** TPC-H Q1 pattern: scan-heavy filter + 8-way aggregate.
     * Map-side partial aggregation → tiny shuffle (few groups). */
   def q1(spark: SparkSession, sfDir: String): DataFrame =
@@ -199,7 +241,7 @@ object Analytics {
     * (merge while t < last + gap), so the oracle uses `>=` where the
     * lag/cumsum formulation uses `>`. */
   def sessionWindow(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    userEvents(spark, sfDir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -216,7 +258,7 @@ object Analytics {
     // and thus session assignment — nondeterministic across engines
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val sessioned = Tables.events(spark, sfDir)
+    val sessioned = userEvents(spark, sfDir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         // microsecond arithmetic: exact parity with the oracle's epoch_us
@@ -246,7 +288,7 @@ object Analytics {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-4, 0)
-    Tables.events(spark, sfDir)
+    userEvents(spark, sfDir)
       .select(
         col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"),
@@ -279,7 +321,7 @@ object Analytics {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), when(isPurchase, 0).otherwise(1), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(spark, sfDir)
+    userEvents(spark, sfDir)
       .where(col("event_type").isin("purchase", "click"))
       .select(
         col("user_id"), col("ts"), col("event_id"), col("event_type"),
@@ -318,7 +360,7 @@ object Analytics {
     val order = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val staged = Tables.events(spark, sfDir)
+    val staged = userEvents(spark, sfDir)
       .where(col("event_type").isin("view", "click", "purchase"))
       .withColumn("is_view", when(col("event_type") === "view", 1L).otherwise(0L))
       .withColumn("qual_click",
@@ -362,7 +404,7 @@ object Analytics {
     * the distinct → min → self-join formulation, which paid three
     * shuffles of the activity set. */
   def eventsRetention(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    userEvents(spark, sfDir)
       .select(col("user_id"),
         expr("(unix_micros(ts) div 86400000000) div 7").as("week"))
       .groupBy(col("user_id"))
