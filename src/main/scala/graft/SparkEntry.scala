@@ -72,6 +72,8 @@ object SparkEntry {
     "text_featurize" -> ((s, d) => TextAnalysis.featurize(s, d)),
     "text_search" -> ((s, d) => TextAnalysis.textSearch(s, d)),
     "text_ppl" -> ((s, d) => TextAnalysis.unigramLogProb(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "text_pii" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "doc_chunk" -> ((s, d) => TextAnalysis.chunk(s, d)),
     "chunk_search" -> ((s, d) => TextAnalysis.chunkSearch(s, d)),
     "chunk_search_ivf" -> ((s, d) => TextStore.chunkSearchIvf(s, d)),
@@ -87,6 +89,7 @@ object SparkEntry {
     "corpus_bpe_train" -> ((s, d) => CorpusOps.bpeTrain(s, d)),
     "corpus_bpe_tokenize" -> ((s, d) => CorpusOps.bpeTokenize(s, d)),
     "corpus_shuffle" -> ((s, d) => CorpusOps.shuffleAssign(s, d)),
+    "corpus_dup_profile" -> ((s, d) => CorpusOps.dupProfile(s, d)),
     // --- deduplication (training-data pipeline) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -199,6 +202,9 @@ object SparkEntry {
     "text_quality" -> Seq("doc_id"),
     "text_langid" -> Seq("doc_id"),
     "text_fingerprint" -> Seq("doc_id"),
+    "text_repetition" -> Seq("doc_id"),
+    "text_pii" -> Seq("doc_id"),
+    "corpus_dup_profile" -> Seq("copies"),
     "text_featurize" -> Seq("doc_id", "dim"),
     "text_ppl" -> Seq("doc_id"),
     "doc_chunk" -> Seq("doc_id", "chunk_id"),
@@ -1282,6 +1288,65 @@ object SparkEntry {
         |    CAST(len(list_filter(toks, t -> list_contains(['shi','bu','wo','ni','hao'], t))) AS INTEGER) AS c_zh
         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+        |tb AS (
+        |  SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq,
+        |    CASE WHEN len(toks) > 0
+        |      THEN FLOOR(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 10000 + 0.5) / 10000.0
+        |      ELSE 0.0 END AS uniq_ratio,
+        |    COALESCE(tb.top_c, 0) AS top_bigram_cnt,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN FLOOR(COALESCE(tb.top_c, 0) / CAST(len(toks) - 1 AS DOUBLE) * 10000 + 0.5) / 10000.0
+        |      ELSE 0.0 END AS top_bigram_ratio
+        |  FROM t LEFT JOIN tb ON t.doc_id = tb.doc_id)
+        |SELECT doc_id, n_tokens, n_uniq, uniq_ratio, top_bigram_cnt, top_bigram_ratio,
+        |  (uniq_ratio < 0.45 OR (top_bigram_cnt >= 2 AND top_bigram_ratio > 0.10)) AS repetitive
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_pii" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'srv ' || CAST(10 + doc_id % 200 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 250 AS VARCHAR)
+        |      || '.' || CAST((doc_id // 7) % 250 AS VARCHAR)
+        |      || '.' || CAST(1 + doc_id % 254 AS VARCHAR) || ' ' ELSE '' END
+        |    || text
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(s, '\+1-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phone,
+        |  CAST(len(regexp_extract_all(s, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5,
+        |  (len(regexp_extract_all(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |   + len(regexp_extract_all(s, '\+1-[0-9]{3}-[0-9]{4}'))
+        |   + len(regexp_extract_all(s, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) > 0 AS has_pii
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    "corpus_dup_profile" ->
+      """WITH g AS (
+        |  SELECT count(*) AS copies FROM (
+        |    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k
+        |    FROM documents)
+        |  GROUP BY k)
+        |SELECT copies, count(*) AS n_groups, copies * count(*) AS n_docs
+        |FROM g GROUP BY copies ORDER BY copies""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
         |    [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(text, '.')]),

@@ -316,6 +316,28 @@ object CorpusOps {
         max(col("n_tokens")).as("max_tokens"),
         sum(col("n_chars")).as("total_chars"))
 
+  /** Duplication profile: the histogram of exact-duplicate GROUP sizes —
+    * for each copy count `copies`, how many distinct texts occur exactly
+    * that often and how many documents they account for. The dataset-health
+    * number a pipeline operator reads before and after dedup (a corpus
+    * whose mass sits at high `copies` is dominated by boilerplate; the
+    * post-dedup profile is a single `copies = 1` row). Grouping is the
+    * dedup family's normalized key (case/whitespace folded), so the
+    * profile describes exactly what [[graft.operators.Dedup.exact]] would
+    * collapse.
+    *
+    * Scale shape: rides the session's materialized unique table (one
+    * md5-keyed map-side-partial aggregate per session, shared with every
+    * unique-first operator), then aggregates the UNIQUE rows by `w` —
+    * output is bounded by the largest group size, a few dozen rows at any
+    * corpus size. */
+  def dupProfile(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.uniqueDocs(spark, sfDir)
+      .groupBy(col("w").as("copies"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("copies"), col("n_groups"),
+        (col("copies") * col("n_groups")).as("n_docs"))
+
   /** Deterministic stratified sampling: keep a document iff
     * `fingerprint mod 100 < rate(lang)` — the standard
     * hash-mod-bucket sampling of a corpus pipeline (stable across runs,

@@ -569,4 +569,116 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Within-document repetition filters (the Gopher-style quality gates,
+    * Rae et al. 2021 §A1.1: repetitious documents — boilerplate, scraped
+    * listings, generation loops — are low-value training data even when
+    * every individual token looks fine): the fraction of DISTINCT tokens
+    * and the coverage of the single most frequent bigram, each with a 4dp
+    * pinned ratio, plus the keep/flag verdict a cleaning pipeline consumes
+    * (`repetitive` = uniq_ratio < 0.45, OR top_bigram_ratio > 0.10 with
+    * the bigram actually REPEATED — `top_bigram_cnt >= 2`, so a short
+    * diverse document whose every bigram is a 1/(n-1) fraction cannot
+    * trip the coverage term; comparisons run on the rounded values, so
+    * the verdict is engine-independent).
+    *
+    * Scale shape: UNIQUE-FIRST — every stat is a function of the
+    * lower-alnum token stream, which the dedup normalization leaves
+    * invariant (it folds only case and whitespace), so stats compute once
+    * per DISTINCT text and expand to members by one id-only join. The
+    * token-level work is map-only (`array_distinct` inside the scan); only
+    * the top-bigram count shuffles, and it shuffles unique-level
+    * (uid, bigram) rows with map-side partial aggregation — corpus /
+    * dup-factor fewer rows than a doc-level formulation. */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Dedup.uniqueDocs(spark, sfDir)
+      .select(col("doc_id").as("uid"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))))
+    // top-bigram coverage: explode the n-1 adjacent pairs per unique text,
+    // count per (uid, bigram), keep each doc's max — bounded per-doc state
+    val topBigram = u
+      .where(col("n_tokens") >= 2)
+      .select(col("uid"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+      .groupBy(col("uid"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("uid")).agg(max(col("c")).as("top_bigram_cnt"))
+    val scored = u.join(topBigram, Seq("uid"), "left")
+      .select(
+        col("uid"), col("n_tokens"), col("n_uniq"),
+        when(col("n_tokens") > 0, round4(col("n_uniq") / col("n_tokens")))
+          .otherwise(lit(0.0)).as("uniq_ratio"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        when(col("n_tokens") >= 2,
+          round4(coalesce(col("top_bigram_cnt"), lit(0L)) / (col("n_tokens") - 1)))
+          .otherwise(lit(0.0)).as("top_bigram_ratio"))
+      .withColumn("repetitive",
+        col("uniq_ratio") < 0.45 ||
+          (col("top_bigram_cnt") >= 2 && col("top_bigram_ratio") > 0.10))
+    Dedup.uniqueMembers(spark, sfDir).join(scored, "uid")
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("uniq_ratio"),
+        col("top_bigram_cnt"), col("top_bigram_ratio"), col("repetitive"))
+  }
+
+  /** PII patterns with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB): character classes, bounded/unbounded counted repeats, no
+    * lookarounds, no alternation whose leftmost-first order could differ. */
+  private[operators] val piiEmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[operators] val piiPhonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+  private[operators] val piiIpPat =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII detection + redaction — the scrubbing stage every production
+    * training-data pipeline runs before text reaches a model (emails,
+    * phone numbers, IP addresses → typed placeholders). The corpus is
+    * synthetic (no digits at all), so like the `mm_*_real` family the
+    * operator proves itself on REAL payloads generated in-pipeline: each
+    * document deterministically receives 0-3 PII spans derived from its
+    * doc_id (an email for even ids, a NANP-style phone for ids ≡ 0 mod 3,
+    * a dotted-quad IP prefix for ids ≡ 0 mod 5), then the scrubber —
+    * which never sees the arithmetic — must find and redact exactly those
+    * spans. The oracle replays the injection and the regexes, so
+    * hash-green proves count AND redaction parity byte for byte
+    * (`redacted_md5` covers the full scrubbed text).
+    *
+    * Scale shape: map-only — injection, three codegen'd `regexp_count`s,
+    * three chained `regexp_replace`s and the md5 all ride one scan; no
+    * shuffle, no unique-table (the payload depends on doc_id, so there is
+    * nothing to collapse). Redaction order (email → phone → IP) is fixed
+    * and mirrored by the oracle; the patterns cannot overlap across
+    * classes on any input because an email match consumes its digits and
+    * the phone literal contains no dots. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val ip = concat(
+      s(lit(10) + d % 200), lit("."), s(d % 250), lit("."),
+      s(expr("doc_id div 7") % 250), lit("."), s(lit(1) + d % 254))
+    val injected = concat(
+      when(d % 5 === 0, concat(lit("srv "), ip, lit(" "))).otherwise(lit("")),
+      col("text"),
+      when(d % 2 === 0,
+        concat(lit(" contact user"), s(d), lit("@mail"), s(d % 7), lit(".com")))
+        .otherwise(lit("")),
+      when(d % 3 === 0,
+        concat(lit(" call +1-555-"), lpad(s(d % 10000), 4, "0")))
+        .otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("injected"), lit(piiEmailPat), lit("<EMAIL>")),
+        lit(piiPhonePat), lit("<PHONE>")),
+      lit(piiIpPat), lit("<IP>"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), injected.as("injected"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("injected"), lit(piiEmailPat)).as("n_email"),
+        regexp_count(col("injected"), lit(piiPhonePat)).as("n_phone"),
+        regexp_count(col("injected"), lit(piiIpPat)).as("n_ip"),
+        md5(redacted).as("redacted_md5"))
+      .withColumn("has_pii",
+        col("n_email") + col("n_phone") + col("n_ip") > 0)
+  }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{CorpusOps, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions to the training-data cleaning surface: repetition
+  * filters (Gopher §A1.1), PII scrubbing, and the duplication profile. */
+class CorpusQualitySpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // --- text_repetition ---
+
+  test("repetition stats: known values on a hand corpus, duplicates expand identically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep_")
+    Seq(
+      (0L, "spam spam spam spam spam spam"), // 6 toks, 1 uniq, top bigram 5/5
+      (1L, "alpha beta gamma delta"),        // fully diverse
+      (2L, "SPAM  spam Spam spam spam spam"),// normalized copy of doc 0
+      (3L, "one")                            // single token: no bigrams
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.repetition(spark, dir.toString).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.size == 4)
+    val d0 = r(0L)
+    assert(d0.getInt(1) == 6 && d0.getInt(2) == 1)
+    assert(d0.getDouble(3) == 0.1667) // 1/6 @4dp
+    assert(d0.getLong(4) == 5 && d0.getDouble(5) == 1.0)
+    assert(d0.getBoolean(6), "constant doc must flag repetitive")
+    val d1 = r(1L)
+    assert(d1.getDouble(3) == 1.0 && d1.getLong(4) == 1)
+    assert(!d1.getBoolean(6), "diverse doc must not flag")
+    // the normalized duplicate gets doc 0's row verbatim (unique-first
+    // collapse is over the dedup normalization: case/whitespace folded)
+    val d2 = r(2L)
+    assert((1 until 7).forall(i => d2.get(i) == d0.get(i)),
+      s"duplicate row diverged: $d2 vs $d0")
+    // a 1-token doc has no bigrams: ratio 0, count 0, not repetitive via
+    // the bigram term — but uniq_ratio 1.0 keeps it clean
+    val d3 = r(3L)
+    assert(d3.getLong(4) == 0L && d3.getDouble(5) == 0.0 && !d3.getBoolean(6))
+  }
+
+  test("repetition on the graded corpus: every doc scored, ratios in range") {
+    val rows = TextAnalysis.repetition(spark, sfDir).collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val (u, b) = (r.getDouble(3), r.getDouble(5))
+      u > 0 && u <= 1.0 && b >= 0 && b <= 1.0
+    })
+    // both verdict classes occur on the graded corpus (threshold sanity)
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)))
+  }
+
+  // --- text_pii ---
+
+  test("pii scrub: counts follow the injection arithmetic, redaction replayed byte-exact") {
+    val out = TextAnalysis.piiScrub(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 500)
+    // independent JVM-side replay of injection + redaction
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "\\+1-[0-9]{3}-[0-9]{4}"
+    val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val r = out(id)
+      assert(r.getInt(1) == (if (id % 2 == 0) 1 else 0), s"n_email @ $id")
+      assert(r.getInt(2) == (if (id % 3 == 0) 1 else 0), s"n_phone @ $id")
+      assert(r.getInt(3) == (if (id % 5 == 0) 1 else 0), s"n_ip @ $id")
+      assert(r.getBoolean(5) == (id % 2 == 0 || id % 3 == 0 || id % 5 == 0))
+      val injected =
+        (if (id % 5 == 0)
+          s"srv ${10 + id % 200}.${id % 250}.${(id / 7) % 250}.${1 + id % 254} "
+        else "") + text +
+        (if (id % 2 == 0) s" contact user$id@mail${id % 7}.com" else "") +
+        (if (id % 3 == 0) " call +1-555-" + "%04d".format(id % 10000) else "")
+      val redacted = injected
+        .replaceAll(emailPat, "<EMAIL>")
+        .replaceAll(phonePat, "<PHONE>")
+        .replaceAll(ipPat, "<IP>")
+      assert(r.getString(4) == md5hex(redacted), s"redacted_md5 @ $id")
+      // the scrubbed text must be PII-free under the same patterns
+      Seq(emailPat, phonePat, ipPat).foreach(p =>
+        assert(!p.r.findFirstIn(redacted).isDefined, s"residual PII @ $id"))
+    }
+  }
+
+  // --- corpus_dup_profile ---
+
+  test("dup profile: histogram of normalized duplicate-group sizes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupprof_")
+    Seq(
+      (0L, "aaa bbb"), (1L, "AAA  bbb"), (2L, "aaa bbb "), // group of 3
+      (3L, "ccc"), (4L, "ccc"),                            // group of 2
+      (5L, "ddd"), (6L, "eee")                             // two singletons
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = CorpusOps.dupProfile(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("dup profile mass equals the corpus; graded corpus is all-distinct") {
+    val rows = CorpusOps.dupProfile(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum == 500L)
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L,
+      "driver sf0.001 corpus has no exact duplicates")
+  }
+}
