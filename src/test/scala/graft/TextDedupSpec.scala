@@ -455,6 +455,32 @@ class TextDedupSpec extends SparkSpec {
       s"uncapped gate flags: ${unflags.sorted}")
   }
 
+  test("batch gate flags a dup-heavy incoming slice per copy (incoming collapse, r13)") {
+    import spark.implicits._
+    // the r13 batch-only incoming collapse signs each distinct incoming
+    // text once and expands flags to member ids — this pins the contract:
+    // incoming COPIES get identical rows differing only in their id, and
+    // a novel incoming text stays unflagged. Corpus: one duplicated text.
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_dupin_")
+    val t = (0 until 50).map(i => s"gamma$i delta$i").mkString(" ")
+    Seq((0L, t), (1L, t))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val incoming = Seq(
+      (900L, t), (901L, t), (902L, t),                 // three copies
+      (950L, (0 until 50).map(i => s"nov$i elty$i").mkString(" "))) // novel
+      .toDF("doc_id", "text")
+    val flags = Dedup.nearDupGate(incoming, spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(flags == Set(900L, 901L, 902L).flatMap(id =>
+      Set((id, 0L, 1.0), (id, 1L, 1.0))), s"pair-mode flags: $flags")
+    val repr = Dedup.nearDupGateRepr(incoming, spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(repr == Set(900L, 901L, 902L).map(id => (id, 0L, 2L, 1.0)),
+      s"repr-mode rows: $repr")
+  }
+
   test("LSH pairs survive a capped lowest band and are emitted exactly once") {
     import spark.implicits._
     // 5 identical all-positive vectors: their sigs match in all 8 bands,
