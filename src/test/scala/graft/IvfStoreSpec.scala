@@ -75,6 +75,40 @@ class IvfStoreSpec extends SparkSpec {
     assert(with9.contains(victim))
   }
 
+  test("getByIds fetches current rows: latest gen wins, tombstones hide, time travel sees back (r13)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_get_by_ids").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    // single-gen fast path: the In filter reaches the scan
+    val fresh = VectorIndex.getByIds(spark, path, Seq(1L, 5L, 9L))
+    val plan = fresh.queryExecution.executedPlan.toString
+    assert(plan.contains("In(vec_id") && plan.contains("PushedFilters"),
+      s"id filter not pushed to the scan:\n$plan")
+    val freshRows = fresh.collect()
+    assert(freshRows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 9L))
+    assert(freshRows.forall(r => r.getString(2) != null), "metadata missing")
+    // update id 1 (new label, same embedding) as gen 1 → lookup resolves it
+    val v1 = spark.read.parquet(s"$path/vectors")
+      .where(col("vec_id") === 1L).head()
+    val emb = v1.getSeq[Float](v1.fieldIndex("embedding"))
+    VectorIndex.appendStore(spark, path,
+      Seq((1L, 77, emb)).toDF("vec_id", "label", "embedding"), gen = 1L)
+    val updated = VectorIndex.getByIds(spark, path, Seq(1L)).collect()
+    assert(updated.length == 1 && updated.head.getInt(1) == 77,
+      s"latest generation not resolved: ${updated.toSeq}")
+    // tombstone id 5 → lookup no longer returns it
+    VectorIndex.deleteFromStore(spark, path, Seq(5L), gen = 2L)
+    val afterDel = VectorIndex.getByIds(spark, path, Seq(1L, 5L, 9L))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(afterDel == Seq(1L, 9L), s"tombstone leaked: $afterDel")
+    // time travel to gen 0 sees the original label and the deleted id
+    val asOf = VectorIndex.getByIds(spark, path, Seq(1L, 5L), asOfGen = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asOf.keySet == Set(1L, 5L))
+    assert(asOf(1L) == v1.getInt(1), "time travel returned the updated label")
+  }
+
   test("streaming ingest upserts micro-batches into the store as generations") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
