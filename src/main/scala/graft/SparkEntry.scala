@@ -115,6 +115,7 @@ object SparkEntry {
       Dedup.nearDupGateRepr(incoming, s, d)
     }),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_simhash_repr" -> ((s, d) => Dedup.simhashRepr(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusterAssign(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
@@ -224,6 +225,7 @@ object SparkEntry {
     "corpus_neardup_gate" -> Seq("doc_id", "corpus_doc_id"),
     "corpus_neardup_gate_repr" -> Seq("doc_id"),
     "dedup_simhash" -> Seq("doc_a", "doc_b"),
+    "dedup_simhash_repr" -> Seq("doc_a", "doc_b"),
     "dedup_clusters" -> Seq("doc_id"),
     "dedup_keep_best" -> Seq("doc_id"),
     "dedup_embedding" -> Seq("id_a", "id_b"),
@@ -1778,6 +1780,43 @@ object SparkEntry {
         |     OR ((a.fp >> 16) & 65535) = ((b.fp >> 16) & 65535)
         |     OR ((a.fp >> 32) & 65535) = ((b.fp >> 32) & 65535)
         |     OR ((a.fp >> 48) & 65535) = ((b.fp >> 48) & 65535))
+        |WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the repr mode replays the SAME fp chain but over distinct
+    // normalized texts (rep id = min doc_id, w = copy count) and reports
+    // the pair VOLUME (w_a·w_b cross, C(w,2) self) instead of expanding it
+    "dedup_simhash_repr" ->
+      """WITH uniq AS (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS w,
+        |    trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nt
+        |  FROM documents GROUP BY 3),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(nt, ' ')) AS t FROM uniq),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(t, '.')]),
+        |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS hv
+        |  FROM tok),
+        |v AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h, (SELECT unnest(range(61)) AS j) GROUP BY 1, 2),
+        |f AS (
+        |  SELECT v.doc_id, any_value(u.w) AS w,
+        |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM v JOIN uniq u ON v.doc_id = u.doc_id GROUP BY 1)
+        |SELECT doc_a, doc_b, hamming, n_pairs FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming,
+        |    a.w * b.w AS n_pairs
+        |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |  WHERE ((a.fp >> 0) & 65535) = ((b.fp >> 0) & 65535)
+        |     OR ((a.fp >> 16) & 65535) = ((b.fp >> 16) & 65535)
+        |     OR ((a.fp >> 32) & 65535) = ((b.fp >> 32) & 65535)
+        |     OR ((a.fp >> 48) & 65535) = ((b.fp >> 48) & 65535)
+        |  UNION ALL
+        |  SELECT doc_id, doc_id, 0, (w * (w - 1)) // 2 FROM f WHERE w >= 2)
         |WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_lsh" -> {

@@ -173,6 +173,21 @@ class PlanShapeSpec extends SparkSpec {
       s"pair-dedupe aggregate reappeared:\n$plan")
   }
 
+  test("simhashRepr never materializes the member expansion (r13)") {
+    // the repr mode's whole point is stopping BEFORE the w_a·w_b doc-level
+    // fan-out (the 400+ s term of the pair mode at dup factor 1000). The
+    // expansion's structural signature is its pinned pre-fan-out
+    // repartitions (REPARTITION_BY_COL, see expandUniquePairs) — a
+    // regression routing repr through expand-then-reaggregate would carry
+    // them and re-shuffle the expanded multiset; the repr plan must stay
+    // unique-level end to end: pair emission + two weight joins.
+    val plan = executedPlan(graft.operators.Dedup.simhashRepr(spark, sfDir))
+    assert(!plan.contains("REPARTITION_BY_COL"),
+      s"simhashRepr plan carries the member-expansion fan-out hops:\n$plan")
+    assert(!"Aggregate\\(keys=\\[doc_a".r.findFirstIn(plan).isDefined,
+      s"simhashRepr re-aggregates a doc-level pair multiset:\n$plan")
+  }
+
   test("batch PQ: LUT probe table broadcasts, corpus never cartesian-joins") {
     // the per-query LUT join is keyless (every row scores against every
     // query) but the probe side is nQueries rows — it must plan as a

@@ -587,4 +587,35 @@ class TextDedupSpec extends SparkSpec {
       assert(rep == p.filter(_._3 == maxCos).map(_._2).min, s"vec $vec: rep $rep")
     }
   }
+
+  test("simhashRepr reports exactly the pair volume the member expansion emits (r13)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash_repr_")
+    val base = (0 until 100).map(i => s"tok$i").mkString(" ")
+    val variant = ("zzz" +: (1 until 100).map(i => s"tok$i")).mkString(" ")
+    val novel = (0 until 100).map(i => s"other$i").mkString(" ")
+    Seq((0L, base), (1L, base), (2L, base),
+        (10L, variant), (11L, variant), (20L, novel))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.simhash(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val repr = Dedup.simhashRepr(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // rep = min doc_id per normalized text group
+    val rep = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 20L -> 20L)
+    val grouped = pairs.groupBy { case (a, b, _) =>
+      (math.min(rep(a), rep(b)), math.max(rep(a), rep(b))) }
+    // every repr row's volume is the count of expanded pairs in its group
+    // pair, every group pair has a repr row, hamming agrees row for row
+    assert(repr.map { case (a, b, _, n) => ((a, b), n) }.toMap ==
+      grouped.map { case (k, v) => k -> v.length.toLong },
+      s"repr volumes vs expanded counts: ${repr.toSeq} vs ${grouped.view.mapValues(_.length).toMap}")
+    repr.foreach { case (a, b, h, _) =>
+      assert(grouped((a, b)).forall(_._3 == h), s"hamming mismatch in ($a,$b)") }
+    // teeth: the copy groups' self pairs carry C(w, 2)
+    val reprMap = repr.map { case (a, b, h, n) => (a, b) -> ((h, n)) }.toMap
+    assert(reprMap((0L, 0L)) == ((0, 3L)), s"base self pair: $reprMap")
+    assert(reprMap((10L, 10L)) == ((0, 1L)), s"variant self pair: $reprMap")
+  }
 }
