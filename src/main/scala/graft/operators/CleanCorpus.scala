@@ -20,27 +20,20 @@ import org.apache.spark.sql.functions._
   * would OOM the driver. */
 object CleanCorpus {
 
-  def clean(
-      spark: SparkSession,
-      sfDir: String,
-      minQuality: Double = 0.5): DataFrame = {
+  /** The per-payload keep verdict — quality score + English-majority test
+    * computed in ONE codegen'd token pass (the native MarkerCounts
+    * expression langid/quality use: mc[0] = stopword hits, mc[1] = en,
+    * mc[2..] = the other languages in langMarkers order) — over any frame
+    * with a `text` column. ONE definition shared by the batch pipeline
+    * (applied per distinct payload, expanded by id) and the streaming
+    * ingest stage (applied per row — a live micro-batch has no dup mass
+    * to collapse), so backfill and live ingest provably agree. Stateless:
+    * safe in append mode. */
+  private[graft] def scoredKeep(df: DataFrame, minQuality: Double): DataFrame = {
     val stop = TextAnalysis.stopwords // the quality replay must count
     // exactly text_quality's list — one definition, not a copy
-    // stopwords + all five language marker sets count in ONE codegen'd
-    // token pass (the native MarkerCounts expression langid/quality use):
-    // mc[0] = stop hits, mc[1] = en, mc[2..] = the other languages in
-    // langMarkers order
     val sets: Seq[Seq[String]] = stop +: TextAnalysis.langMarkers.map(_._2)
-
-    // UNIQUE-FIRST over BYTE-identical texts (r12): quality's density
-    // term reads the RAW text length, which the dedup normalization
-    // folds (two whitespace-variant copies share a normalized unique but
-    // differ in length) — so the exact-text table is the sound collapse
-    // here, like chunk_search's. Score once per distinct payload, keep
-    // the per-unique verdict, expand to members by id, THEN anti-join
-    // the duplicate ids (a doc-level decision).
-    val uScored = CorpusOps.exactUniqueDocs(spark, sfDir)
-      .select(col("uid"), col("text"))
+    df
       .withColumn("toks", expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
       .withColumn("mc",
         graft.functions.TextFunctions.markerCounts(col("toks"), sets))
@@ -55,6 +48,22 @@ object CleanCorpus {
       .withColumn("c_other", greatest(
         (2 until sets.length).map(i => col("mc").getItem(i)): _*))
       .where(col("quality") >= minQuality && col("c_en") >= col("c_other"))
+  }
+
+  def clean(
+      spark: SparkSession,
+      sfDir: String,
+      minQuality: Double = 0.5): DataFrame = {
+    // UNIQUE-FIRST over BYTE-identical texts (r12): quality's density
+    // term reads the RAW text length, which the dedup normalization
+    // folds (two whitespace-variant copies share a normalized unique but
+    // differ in length) — so the exact-text table is the sound collapse
+    // here, like chunk_search's. Score once per distinct payload, keep
+    // the per-unique verdict, expand to members by id, THEN anti-join
+    // the duplicate ids (a doc-level decision).
+    val uScored = scoredKeep(
+      CorpusOps.exactUniqueDocs(spark, sfDir).select(col("uid"), col("text")),
+      minQuality)
       .select(col("uid"), col("quality"))
 
     // the distinct doc_b side derived from the unique-level pair table —

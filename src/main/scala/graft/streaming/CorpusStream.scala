@@ -48,6 +48,24 @@ object CorpusStream {
     graft.operators.Dedup.exactAgg(
       fileSource(spark, dir, docSchema, maxFilesPerTrigger))
 
+  /** Streaming quality/language cleaning stage (r13): the batch
+    * [[graft.operators.CleanCorpus]] keep-verdict over a streaming
+    * source — keep documents scoring ≥ `minQuality` AND predicted
+    * English, emit (doc_id, quality). The verdict is the SAME
+    * `scoredKeep` expression chain the batch pipeline applies (there per
+    * distinct payload; here per row — a live micro-batch has no dup mass
+    * to collapse), so backfill and live ingest provably agree. Stateless
+    * map-only: append mode, no state store, no watermark. The batch
+    * pipeline's duplicate-side anti-join is the separate [[dedupStream]]
+    * / [[nearDupGate]] stages a production ingest composes around this
+    * one (gate → admit → clean; IngestComposeSpec). */
+  def cleanStream(
+      spark: SparkSession, dir: String,
+      minQuality: Double = 0.5, maxFilesPerTrigger: Int = 0): DataFrame =
+    graft.operators.CleanCorpus.scoredKeep(
+      fileSource(spark, dir, docSchema, maxFilesPerTrigger), minQuality)
+      .select(col("doc_id"), col("quality"))
+
   /** Streaming NEAR-dup gate (r9): flag incoming documents that are
     * MinHash near-copies of the EXISTING corpus at `sfDir` — the batch
     * [[graft.operators.Dedup.nearDupGate]] over a streaming source.

@@ -34,6 +34,38 @@ class CorpusStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming clean stage matches the batch verdict across micro-batches (r13)") {
+    val dir = Files.createTempDirectory("clean_stream").toString
+    Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .repartition(3)
+      .write.mode("overwrite").json(dir)
+
+    val q = CorpusStream.cleanStream(spark, dir, maxFilesPerTrigger = 1)
+      .writeStream
+      .format("memory")
+      .queryName("clean_stream_spec")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("clean_stream_spec").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // the streaming stage IS the batch verdict chain per row: parity with
+    // scoredKeep applied to the same frame
+    val expected = graft.operators.CleanCorpus.scoredKeep(
+        Tables.documents(spark, sfDir).select("doc_id", "text"), 0.5)
+      .select("doc_id", "quality").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed.nonEmpty && streamed == expected)
+    // and the full batch pipeline is this verdict minus the duplicate ids
+    val cleaned = graft.operators.CleanCorpus.clean(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(cleaned.subsetOf(streamed),
+      s"batch clean emitted rows the verdict stage rejects: ${cleaned -- streamed}")
+  }
+
   test("streaming near-dup gate matches the batch gate, stateless, across micro-batches") {
     import spark.implicits._
     // incoming mix: exact copies of corpus documents under NEW ids (must
