@@ -82,6 +82,7 @@ object SparkEntry {
     // --- corpus ops (training-data pipeline: stats / sample / pack) ---
     "corpus_stats" -> ((s, d) => CorpusOps.stats(s, d)),
     "corpus_sample" -> ((s, d) => CorpusOps.sample(s, d)),
+    "corpus_split" -> ((s, d) => CorpusOps.splitAssign(s, d)),
     "corpus_pack" -> ((s, d) => CorpusOps.packSequences(s, d)),
     "corpus_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "corpus_mix" -> ((s, d) => CorpusOps.mix(s, d)),
@@ -214,6 +215,7 @@ object SparkEntry {
     "search_metrics" -> Seq("stage_ord"),
     "add_texts" -> Seq("vec_id", "dim"),
     "corpus_sample" -> Seq("doc_id"),
+    "corpus_split" -> Seq("doc_id"),
     "corpus_bpe_tokenize" -> Seq("doc_id"),
     "corpus_pack" -> Seq("lang", "bin"),
     "corpus_decontaminate" -> Seq("doc_id"),
@@ -1635,6 +1637,22 @@ object SparkEntry {
         |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT) AS fp
         |  FROM documents)
         |WHERE fp % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
+    // content-keyed split: the fingerprint runs over the dedup-NORMALIZED
+    // text (copies co-locate in one split — no train/test leakage through
+    // duplicates), replayed with the same rolling fold as corpus_sample
+    "corpus_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(unicode(x) AS HUGEINT) FOR x IN regexp_extract_all(
+        |        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '.')]),
+        |      (acc, x) -> (acc * 131 + x) % 2305843009213693951) AS BIGINT)
+        |      % 1000 AS b
+        |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
     // temperature mixture: per-lang thresholds derive via integer-exact
     // arithmetic from the counts (isqrt weights, DIV), keep test replays

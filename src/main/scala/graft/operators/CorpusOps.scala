@@ -358,6 +358,31 @@ object CorpusOps {
         when(col("lang") === "en", enPct).otherwise(otherPct))
       .select(col("doc_id"), col("lang"), col("bucket").cast("int").as("bucket"))
 
+  /** Deterministic train/val/test split (r13) — the assignment step
+    * before a corpus ships to training. Keyed by a fingerprint of the
+    * dedup-NORMALIZED text, not the doc id: (a) content-keyed splits are
+    * stable across re-ingests and re-sharding (id-keyed splits leak the
+    * moment ids shift), and (b) exact and whitespace-variant copies of a
+    * text land in the SAME split — otherwise every surviving duplicate
+    * pair straddling the split boundary is train→test leakage. Thousandth
+    * buckets: bucket < valPm → val, < valPm+testPm → test, else train.
+    * Map-only: the fingerprint, bucket, and label ride one codegen'd
+    * scan — no shuffle at any corpus size. */
+  def splitAssign(
+      spark: SparkSession,
+      sfDir: String,
+      valPm: Int = 10,
+      testPm: Int = 10): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        pmod(TextFunctions.polyFingerprint(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ")),
+          lit(1000L)).as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < valPm, "val")
+          .when(col("bucket") < valPm + testPm, "test")
+          .otherwise("train").as("split"))
+
   /** Sequence packing: assign documents (in deterministic doc_id order,
     * per language) to training bins of `budget` tokens by cumulative
     * token count, and report per-bin document/token totals — the batch

@@ -87,4 +87,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"threshold join must broadcast:\n$plan")
   }
+
+  test("split is content-keyed: copies co-locate, assignment total and map-only (r13)") {
+    import spark.implicits._
+    // whitespace/case-variant copies of one text MUST land in the same
+    // split (the anti-leakage contract); distinct texts spread by hash
+    val dir = java.nio.file.Files.createTempDirectory("graft_split_")
+    val base = (0 until 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (0L, base), (1L, "  " + base.toUpperCase + "  "),
+      (2L, base.replace(" ", "   "))) ++
+      (10L until 400L).map(i => (i, (0 until 40).map(j => s"t${i}x$j").mkString(" ")))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CorpusOps.splitAssign(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == docs.size, "split must assign every document")
+    assert(Set(rows(0L), rows(1L), rows(2L)).size == 1,
+      s"copies split apart: ${rows.view.filterKeys(_ < 3).toMap}")
+    assert(rows.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(rows.values.count(_ == "train") > rows.size / 2,
+      "train must dominate at 1%/1% holdouts")
+    // map-only: no exchange anywhere
+    val plan = CorpusOps.splitAssign(spark, dir.toString)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split gained a shuffle:\n$plan")
+  }
 }
