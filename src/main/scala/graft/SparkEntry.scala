@@ -95,6 +95,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_minhash_lsh_repr" -> ((s, d) => Dedup.minhashLshRepr(s, d)),
     "corpus_neardup_gate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       // incoming = a deterministic id-shifted corpus slice (the
@@ -224,6 +225,7 @@ object SparkEntry {
     "dedup_exact" -> Seq("keep_id"),
     "dedup_ngram_jaccard" -> Seq("doc_a", "doc_b"),
     "dedup_minhash_lsh" -> Seq("doc_a", "doc_b"),
+    "dedup_minhash_lsh_repr" -> Seq("doc_a", "doc_b"),
     "corpus_neardup_gate" -> Seq("doc_id", "corpus_doc_id"),
     "corpus_neardup_gate_repr" -> Seq("doc_id"),
     "dedup_simhash" -> Seq("doc_a", "doc_b"),
@@ -1867,6 +1869,44 @@ object SparkEntry {
          |    i -> sa.sig[CAST(i + 1 AS INTEGER)] = sb.sig[CAST(i + 1 AS INTEGER)]))
          |  / 128.0 >= 0.5
          |ORDER BY p.doc_a, p.doc_b""".stripMargin
+    },
+    // the repr mode collapses the doc-level pair set to representative
+    // level: rep = min doc_id per normalized text; each surviving group
+    // pair carries its constant estimate (sigs are per-unique) and
+    // n_pairs = the group's doc-level pair count — the member expansion's
+    // volume, reported instead of materialized
+    "dedup_minhash_lsh_repr" -> {
+      s"""WITH $minhashSigCtes,
+         |bucket AS (
+         |  SELECT band, bh FROM bands GROUP BY band, bh
+         |  HAVING count(*) BETWEEN 2 AND 1000),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bucket USING (band, bh)
+         |  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    FLOOR(len(list_filter(range(128),
+         |        i -> sa.sig[CAST(i + 1 AS INTEGER)] = sb.sig[CAST(i + 1 AS INTEGER)]))
+         |      / 128.0 * 10000 + 0.5) / 10000.0 AS est_jaccard
+         |  FROM pairs p
+         |  JOIN sigs sa ON sa.doc_id = p.doc_a
+         |  JOIN sigs sb ON sb.doc_id = p.doc_b
+         |  WHERE len(list_filter(range(128),
+         |      i -> sa.sig[CAST(i + 1 AS INTEGER)] = sb.sig[CAST(i + 1 AS INTEGER)]))
+         |    / 128.0 >= 0.5),
+         |rep AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY
+         |    trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS r
+         |  FROM documents)
+         |SELECT least(ra.r, rb.r) AS doc_a, greatest(ra.r, rb.r) AS doc_b,
+         |  min(s.est_jaccard) AS est_jaccard, count(*) AS n_pairs
+         |FROM scored s
+         |JOIN rep ra ON s.doc_a = ra.doc_id
+         |JOIN rep rb ON s.doc_b = rb.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     // the streaming/batch near-dup GATE as a graded query: incoming = a
     // deterministic id-shifted slice of the corpus (doc_id % 10 = 3,

@@ -617,5 +617,21 @@ class TextDedupSpec extends SparkSpec {
     val reprMap = repr.map { case (a, b, h, n) => (a, b) -> ((h, n)) }.toMap
     assert(reprMap((0L, 0L)) == ((0, 3L)), s"base self pair: $reprMap")
     assert(reprMap((10L, 10L)) == ((0, 1L)), s"variant self pair: $reprMap")
+
+    // the jaccard-family repr obeys the same volume contract on the same
+    // corpus (shared reprPairs tail, independent candidate core)
+    val mPairs = Dedup.minhashLsh(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mRepr = Dedup.minhashLshRepr(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val mGrouped = mPairs.groupBy { case (a, b, _) =>
+      (math.min(rep(a), rep(b)), math.max(rep(a), rep(b))) }
+    assert(mRepr.map { case (a, b, _, n) => ((a, b), n) }.toMap ==
+      mGrouped.map { case (k, v) => k -> v.length.toLong },
+      s"minhash repr volumes: ${mRepr.toSeq} vs ${mGrouped.view.mapValues(_.length).toMap}")
+    mRepr.foreach { case (a, b, e, _) =>
+      assert(mGrouped((a, b)).forall(_._3 == e), s"estimate mismatch in ($a,$b)") }
+    assert(mRepr.map { case (a, b, _, _) => (a, b) }.toSet.contains((0L, 0L)),
+      "base copy group must survive as a self pair")
   }
 }
