@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    "dedup_embedding_lsh_repr" -> ((s, d) => Dedup.embeddingNearDupLshRepr(s, d)),
     "corpus_embedding_gate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       // incoming = a deterministic id-shifted embeddings slice, mirroring
@@ -234,6 +235,7 @@ object SparkEntry {
     "dedup_keep_best" -> Seq("doc_id"),
     "dedup_embedding" -> Seq("id_a", "id_b"),
     "dedup_embedding_lsh" -> Seq("id_a", "id_b"),
+    "dedup_embedding_lsh_repr" -> Seq("id_a", "id_b"),
     "corpus_embedding_gate" -> Seq("vec_id", "corpus_vec_id"),
     "corpus_embedding_gate_repr" -> Seq("vec_id"),
     "knn_graph" -> Seq("src", "rank"),
@@ -2345,6 +2347,42 @@ object SparkEntry {
          |JOIN embeddings ea ON ea.vec_id = c.id_a
          |JOIN embeddings eb ON eb.vec_id = c.id_b
          |WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    // the repr mode collapses the doc-level pair set to representative
+    // level: rep = min vec_id per embedding VALUE (the vector family's
+    // unique key); constant cosine per group, n_pairs = group pair count
+    "dedup_embedding_lsh_repr" -> {
+      val sigTerms = (1 to 8)
+        .map(k => s"(CASE WHEN embedding[band * 8 + $k] > 0 THEN ${1 << (k - 1)} ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH s AS (
+         |  SELECT vec_id, band,
+         |    $sigTerms AS sig
+         |  FROM embeddings, (SELECT unnest(range(8)) AS band)),
+         |bs AS (
+         |  SELECT band, sig FROM s GROUP BY band, sig HAVING count(*) <= 1000),
+         |c AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |  FROM s a
+         |  JOIN bs ON bs.band = a.band AND bs.sig = a.sig
+         |  JOIN s b2 ON a.band = b2.band AND a.sig = b2.sig AND a.vec_id < b2.vec_id),
+         |scored AS (
+         |  SELECT c.id_a, c.id_b,
+         |    ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+         |  FROM c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b
+         |  WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4),
+         |rep AS (
+         |  SELECT vec_id, min(vec_id) OVER (PARTITION BY embedding) AS r
+         |  FROM embeddings)
+         |SELECT least(ra.r, rb.r) AS id_a, greatest(ra.r, rb.r) AS id_b,
+         |  min(s2.cos_sim) AS cos_sim, count(*) AS n_pairs
+         |FROM scored s2
+         |JOIN rep ra ON s2.id_a = ra.vec_id
+         |JOIN rep rb ON s2.id_b = rb.vec_id
+         |GROUP BY 1, 2
          |ORDER BY id_a, id_b""".stripMargin
     },
     // the embedding ingest gate replayed from the same sign-LSH chain:

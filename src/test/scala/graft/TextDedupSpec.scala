@@ -634,4 +634,33 @@ class TextDedupSpec extends SparkSpec {
     assert(mRepr.map { case (a, b, _, _) => (a, b) }.toSet.contains((0L, 0L)),
       "base copy group must survive as a self pair")
   }
+
+  test("embeddingNearDupLshRepr reports the expansion volume (r13)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_embrepr_")
+    val dim = 16
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => math.sin(seed * 31.0 + i).toFloat)
+    // three exact copies of vector a, two of b, one of c
+    val rows = Seq(
+      (0L, 0, vec(1)), (1L, 0, vec(1)), (2L, 0, vec(1)),
+      (10L, 1, vec(2)), (11L, 1, vec(2)), (20L, 2, vec(3)))
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rep = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 20L -> 20L)
+    val pairs = Dedup.embeddingNearDupLsh(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val repr = Dedup.embeddingNearDupLshRepr(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val grouped = pairs.groupBy { case (a, b, _) =>
+      (math.min(rep(a), rep(b)), math.max(rep(a), rep(b))) }
+    assert(repr.map { case (a, b, _, n) => ((a, b), n) }.toMap ==
+      grouped.map { case (k, v) => k -> v.length.toLong },
+      s"embedding repr volumes: ${repr.toSeq} vs ${grouped.view.mapValues(_.length).toMap}")
+    repr.foreach { case (a, b, c, _) =>
+      assert(grouped((a, b)).forall(_._3 == c), s"cosine mismatch in ($a,$b)") }
+    val reprMap = repr.map { case (a, b, c, n) => (a, b) -> ((c, n)) }.toMap
+    assert(reprMap((0L, 0L)) == ((1.0, 3L)), s"a's self pair: $reprMap")
+    assert(reprMap((10L, 10L)) == ((1.0, 1L)), s"b's self pair: $reprMap")
+  }
 }
