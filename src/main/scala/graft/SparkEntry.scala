@@ -158,6 +158,7 @@ object SparkEntry {
     "knn_pq" -> ((s, d) => VectorIndex.pqSearch(s, d)),
     "knn_ivf_pq" -> ((s, d) => VectorIndex.ivfPqSearchStore(s, d)),
     "knn_mmr_ivf" -> ((s, d) => VectorIndex.ivfMmrStore(s, d)),
+    "knn_mmr_lsh" -> ((s, d) => VectorIndex.lshMmrStore(s, d)),
     "knn_batch_ivf" -> ((s, d) => VectorIndex.batchIvfSearchStore(s, d)),
     "knn_batch_lsh" -> ((s, d) => VectorIndex.batchLshSearchStore(s, d)),
     "knn_batch_pq" -> ((s, d) => VectorIndex.batchPqSearch(s, d)),
@@ -364,7 +365,40 @@ object SparkEntry {
       |  UNION
       |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a)""".stripMargin
 
-  private def lshStoreOracleSql(extraFilter: String): String = {
+  /** The greedy MMR replay appended after a `cand(vec_id, label, emb,
+    * score)` CTE: the fetchK=50 relevance-rank window, then the
+    * recursive-CTE greedy (λ=0.5, pairwise diversity on the 1e-4 grid,
+    * argmax ties to the better-ranked candidate) — ONE definition shared
+    * by knn_mmr_ivf and knn_mmr_lsh, so the two store layouts replay the
+    * identical re-rank over their own probe chains. */
+  private val mmrStoreTail: String = """,
+    |mcand AS (
+    |  SELECT vec_id, label, emb, score,
+    |    CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INTEGER) AS rnk
+    |  FROM (SELECT * FROM cand ORDER BY score DESC, vec_id LIMIT 50)),
+    |sel(step, vec_id, label, score, sel_ids) AS (
+    |  (SELECT 1, vec_id, label, score, [vec_id] FROM mcand ORDER BY rnk LIMIT 1)
+    |  UNION ALL
+    |  SELECT s.step + 1, c.vec_id, c.label, c.score,
+    |    list_append(s.sel_ids, c.vec_id)
+    |  FROM sel s, LATERAL (
+    |    SELECT c2.vec_id, c2.label, c2.score
+    |    FROM mcand c2
+    |    WHERE NOT list_contains(s.sel_ids, c2.vec_id)
+    |    ORDER BY 0.5 * c2.score - 0.5 * (
+    |        SELECT max(FLOOR(list_cosine_similarity(c2.emb, c3.emb) * 10000 + 0.5) / 10000.0)
+    |        FROM mcand c3 WHERE list_contains(s.sel_ids, c3.vec_id)) DESC,
+    |      c2.rnk
+    |    LIMIT 1) c
+    |  WHERE s.step < 10)
+    |SELECT vec_id, label, score, CAST(step AS INTEGER) AS mmr_rank
+    |FROM sel ORDER BY mmr_rank""".stripMargin
+
+  private def lshStoreOracleSql(
+      extraFilter: String,
+      tail: String =
+        """SELECT vec_id, label, bucket, score FROM cand
+          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin): String = {
     val planes = graft.functions.IndexOps.hyperplanes(8, 64)
     def lst(p: Array[Float]): String =
       p.map(v => v.toDouble.toString).mkString("[", ", ", "]")
@@ -383,7 +417,7 @@ object SparkEntry {
     val costExpr = (0 until 8)
       .map(i => s"(CASE WHEN (xor(r.b, qsig) >> $i) & 1 = 1 THEN abs(d$i) ELSE 0.0 END)")
       .mkString("\n      + ")
-    s"""WITH q AS (
+    s"""WITH RECURSIVE q AS (
        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
        |m AS (
        |  SELECT $qDots
@@ -398,13 +432,14 @@ object SparkEntry {
        |  SELECT e.vec_id, e.label, e.embedding,
        |    $sigExpr AS bucket
        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-       |  WHERE e.vec_id <> 0 $extraFilter)
-       |SELECT s.vec_id, s.label, CAST(s.bucket AS INTEGER) AS bucket,
-       |  ROUND(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), q.qv), 4) AS score
-       |FROM sigs s, q
-       |WHERE s.bucket IN (SELECT b FROM probes)
-       |ORDER BY score DESC, s.vec_id
-       |LIMIT 10""".stripMargin
+       |  WHERE e.vec_id <> 0 $extraFilter),
+       |cand AS (
+       |  SELECT s.vec_id, s.label, CAST(s.bucket AS INTEGER) AS bucket,
+       |    CAST(s.embedding AS DOUBLE[]) AS emb,
+       |    ROUND(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), q.qv), 4) AS score
+       |  FROM sigs s, q
+       |  WHERE s.bucket IN (SELECT b FROM probes))
+       |$tail""".stripMargin
   }
 
   /** Batch multi-probe LSH replay — [[lshStoreOracleSql]]'s chain
@@ -2277,29 +2312,12 @@ object SparkEntry {
     // (diversity on the 1e-4 grid, argmax ties to the better-ranked
     // candidate)
     "knn_mmr_ivf" -> ivfStoreOracleSql(
-      docJoin = "", extraFilter = "",
-      tail = """,
-               |mcand AS (
-               |  SELECT vec_id, label, emb, score,
-               |    CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INTEGER) AS rnk
-               |  FROM (SELECT * FROM cand ORDER BY score DESC, vec_id LIMIT 50)),
-               |sel(step, vec_id, label, score, sel_ids) AS (
-               |  (SELECT 1, vec_id, label, score, [vec_id] FROM mcand ORDER BY rnk LIMIT 1)
-               |  UNION ALL
-               |  SELECT s.step + 1, c.vec_id, c.label, c.score,
-               |    list_append(s.sel_ids, c.vec_id)
-               |  FROM sel s, LATERAL (
-               |    SELECT c2.vec_id, c2.label, c2.score
-               |    FROM mcand c2
-               |    WHERE NOT list_contains(s.sel_ids, c2.vec_id)
-               |    ORDER BY 0.5 * c2.score - 0.5 * (
-               |        SELECT max(FLOOR(list_cosine_similarity(c2.emb, c3.emb) * 10000 + 0.5) / 10000.0)
-               |        FROM mcand c3 WHERE list_contains(s.sel_ids, c3.vec_id)) DESC,
-               |      c2.rnk
-               |    LIMIT 1) c
-               |  WHERE s.step < 10)
-               |SELECT vec_id, label, score, CAST(step AS INTEGER) AS mmr_rank
-               |FROM sel ORDER BY mmr_rank""".stripMargin),
+      docJoin = "", extraFilter = "", tail = mmrStoreTail),
+    // the same greedy replay over the LSH chain: flip-cost multi-probe
+    // candidate set (identical to lsh_search's), fetchK=50 window, then
+    // the shared recursive-CTE re-rank
+    "knn_mmr_lsh" -> lshStoreOracleSql(
+      extraFilter = "", tail = mmrStoreTail),
     // the hyperplanes are deterministic model state (SplitMix64, seed 7),
     // so they inline as DOUBLE list literals (float→double is exact and
     // Scala's shortest-round-trip repr parses back bit-identically) and

@@ -1462,6 +1462,39 @@ object VectorIndex {
       Some(filter.fold(excl)(_ && excl)))
   }
 
+  /** MMR search through the materialized LSH store — the retriever's
+    * `max_marginal_relevance_search` mode on the bucket layout, closing
+    * the IVF/LSH symmetry gap ([[ivfMmrStore]] is the centroid-layout
+    * twin): the fetchK candidate fetch is the flip-cost multi-probe
+    * pruned store read (same probe set as [[searchLshStore]], embeddings
+    * retained), the greedy λ-diversity re-rank is the shared driver-side
+    * [[KnnSearch.mmrRerank]] — by then candidates are query parameters,
+    * not data, so the collect is bounded by fetchK by construction. */
+  def lshMmrStore(
+      spark: SparkSession,
+      sfDir: String,
+      k: Int = 10,
+      fetchK: Int = 50,
+      lambdaMult: Double = 0.5,
+      probeHamming: Int = 2,
+      queryVecId: Long = 0L): DataFrame = {
+    val path = ensureLshStore(spark, sfDir)
+    val qv = KnnSearch.queryVector(spark, sfDir, queryVecId)
+    val planes = readModel(spark, path, LshLayout)
+    val probed = multiProbeBuckets(planes, qv, probeHamming)
+    val cand = resolvedPartitions(spark, path, LshLayout, probed,
+      Some(col("vec_id") =!= queryVecId))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        round(VectorFunctions.cosineSim(col("embedding"), typedLit(qv)), 4)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(fetchK)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(_.toDouble), r.getDouble(3)))
+    KnnSearch.mmrRerank(spark, cand, k, lambdaMult)
+  }
+
   /** LSH-probed ANN search: compute the query's 16-bit signature on the
     * driver, multi-probe the query bucket plus all hamming-1 neighbor
     * buckets (17 of 65536 → ~0.03 % of a bucket-partitioned store), and

@@ -160,6 +160,24 @@ class LshStoreSpec extends SparkSpec {
     assert(got.sorted == expected.sorted)
   }
 
+  test("lsh store MMR at full probe equals the exact-scan MMR") {
+    // probeHamming = nPlanes probes every bucket, so the fetchK candidate
+    // set is the exact top-fetchK and the shared greedy must select the
+    // same sequence as the inline retriever-mode MMR (knn_mmr's oracle)
+    val stored = VectorIndex.lshMmrStore(spark, sfDir, probeHamming = fullProbe)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    val exact = KnnSearch.mmrTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    assert(exact.nonEmpty)
+    assert(stored.toSeq == exact.toSeq)
+    // the graded default (probeHamming = 2) still fills k from the
+    // multi-probe neighborhood and selects rank-1 = the best probed hit
+    val pruned = VectorIndex.lshMmrStore(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(pruned.length == 10)
+    assert(pruned.map(_._2).toSeq == (1 to 10))
+  }
+
   test("annEvalLsh's summary equals the hand-joined recall of its two inputs") {
     val exact = graft.operators.KnnSearch.batchTopK(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
