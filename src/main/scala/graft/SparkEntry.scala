@@ -184,6 +184,7 @@ object SparkEntry {
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
     // --- composed pipeline ---
     "pipeline_clean" -> ((s, d) => CleanCorpus.clean(s, d)),
+    "pipeline_clean_full" -> ((s, d) => CleanCorpus.cleanFull(s, d)),
   )
 
   /** Deterministic output order for the driver's hash compare — applied by
@@ -251,6 +252,7 @@ object SparkEntry {
     "mm_frames_real" -> Seq("doc_id", "frame_idx"),
     "mm_resize" -> Seq("doc_id"),
     "pipeline_clean" -> Seq("doc_id"),
+    "pipeline_clean_full" -> Seq("doc_id"),
   )
 
   /** Shared CTE chain of the text_search oracle (hash → weights → exact
@@ -1775,6 +1777,95 @@ object SparkEntry {
         |WHERE quality >= 0.5 AND c_en >= c_other
         |  AND doc_id NOT IN (SELECT doc_b FROM dups)
         |ORDER BY doc_id""".stripMargin,
+    // the COMPLETE pipeline: pipeline_clean's quality/langid/dedup chain
+    // + text_repetition's gate + text_pii's injection/redaction, all
+    // replayed doc-level (the Spark side's unique-first collapse and
+    // per-row sorted-bigram-run are execution shapes, not semantics)
+    "pipeline_clean_full" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS n_stop
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    FLOOR((0.5 * least(1.0, len(toks) / 60.0)
+        |        + 0.3 * (1.0 - n_stop / CAST(len(toks) AS DOUBLE))
+        |        + 0.2 * least(1.0, (length(text) / CAST(len(toks) AS DOUBLE)) / 8.0))
+        |      * 10000 + 0.5) / 10000.0 AS quality,
+        |    len(list_filter(toks, t -> list_contains(['the','a','fast','slow','small','big'], t))) AS c_en,
+        |    greatest(
+        |      len(list_filter(toks, t -> list_contains(['der','die','das','und','nicht'], t))),
+        |      len(list_filter(toks, t -> list_contains(['le','la','les','et','est'], t))),
+        |      len(list_filter(toks, t -> list_contains(['el','los','las','y','es'], t))),
+        |      len(list_filter(toks, t -> list_contains(['shi','bu','wo','ni','hao'], t)))) AS c_other
+        |  FROM base),
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+        |  FROM base, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+        |tb AS (
+        |  SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |rep AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN len(toks) > 0
+        |      THEN FLOOR(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 10000 + 0.5) / 10000.0
+        |      ELSE 0.0 END AS uniq_ratio,
+        |    COALESCE(tb.top_c, 0) AS top_bigram_cnt,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN FLOOR(COALESCE(tb.top_c, 0) / CAST(len(toks) - 1 AS DOUBLE) * 10000 + 0.5) / 10000.0
+        |      ELSE 0.0 END AS top_bigram_ratio
+        |  FROM base b LEFT JOIN tb ON b.doc_id = tb.doc_id),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+        |     FOR i IN range(1, len(s) - 3)]) AS shingles
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ') AS s
+        |        FROM documents)
+        |  WHERE len(s) >= 5),
+        |e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+        |cap AS (
+        |  SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= 1000),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+        |    count(*) AS common
+        |  FROM e a
+        |  JOIN cap ON cap.shingle = a.shingle
+        |  JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |dups AS (
+        |  SELECT DISTINCT doc_b FROM p
+        |  WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.8),
+        |inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'srv ' || CAST(10 + doc_id % 200 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 250 AS VARCHAR)
+        |      || '.' || CAST((doc_id // 7) % 250 AS VARCHAR)
+        |      || '.' || CAST(1 + doc_id % 254 AS VARCHAR) || ' ' ELSE '' END
+        |    || text
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS s
+        |  FROM documents)
+        |SELECT s.doc_id, s.quality,
+        |  CAST(len(regexp_extract_all(i.s, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |   + len(regexp_extract_all(i.s, '\+1-[0-9]{3}-[0-9]{4}'))
+        |   + len(regexp_extract_all(i.s, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(i.s,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_md5
+        |FROM scored s
+        |JOIN rep r ON s.doc_id = r.doc_id
+        |JOIN inj i ON s.doc_id = i.doc_id
+        |WHERE s.quality >= 0.5 AND s.c_en >= s.c_other
+        |  AND NOT (r.uniq_ratio < 0.45
+        |    OR (r.top_bigram_cnt >= 2 AND r.top_bigram_ratio > 0.10))
+        |  AND s.doc_id NOT IN (SELECT doc_b FROM dups)
+        |ORDER BY s.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, text_md5, count(*) AS n_copies FROM (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_md5

@@ -650,13 +650,17 @@ object TextAnalysis {
     * and mirrored by the oracle; the patterns cannot overlap across
     * classes on any input because an email match consumes its digits and
     * the phone literal contains no dots. */
-  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The deterministic PII injection over a frame with (doc_id, text) —
+    * extracted so the composed cleaning pipeline ([[CleanCorpus]]) scrubs
+    * the SAME payloads the graded `text_pii` proves itself on. Reads the
+    * columns by name (the integer-div term needs SQL `div`). */
+  private[graft] def piiInjected: Column = {
     val d = col("doc_id")
     def s(c: Column): Column = c.cast("string")
     val ip = concat(
       s(lit(10) + d % 200), lit("."), s(d % 250), lit("."),
       s(expr("doc_id div 7") % 250), lit("."), s(lit(1) + d % 254))
-    val injected = concat(
+    concat(
       when(d % 5 === 0, concat(lit("srv "), ip, lit(" "))).otherwise(lit("")),
       col("text"),
       when(d % 2 === 0,
@@ -665,13 +669,21 @@ object TextAnalysis {
       when(d % 3 === 0,
         concat(lit(" call +1-555-"), lpad(s(d % 10000), 4, "0")))
         .otherwise(lit("")))
-    val redacted = regexp_replace(
+  }
+
+  /** Chained email → phone → IP redaction (fixed order, mirrored by the
+    * oracle) — shared by [[piiScrub]] and the composed pipeline. */
+  private[graft] def piiRedacted(c: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(col("injected"), lit(piiEmailPat), lit("<EMAIL>")),
+        regexp_replace(c, lit(piiEmailPat), lit("<EMAIL>")),
         lit(piiPhonePat), lit("<PHONE>")),
       lit(piiIpPat), lit("<IP>"))
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val redacted = piiRedacted(col("injected"))
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), injected.as("injected"))
+      .select(col("doc_id"), piiInjected.as("injected"))
       .select(
         col("doc_id"),
         regexp_count(col("injected"), lit(piiEmailPat)).as("n_email"),

@@ -66,6 +66,25 @@ object CorpusStream {
       fileSource(spark, dir, docSchema, maxFilesPerTrigger), minQuality)
       .select(col("doc_id"), col("quality"))
 
+  /** Streaming FULL cleaning stage (r14): the complete per-payload
+    * verdict — quality + English-majority + the repetition gate, one
+    * codegen'd pass — followed by the map-only PII scrub, over a live
+    * source: the streaming twin of [[graft.operators.CleanCorpus
+    * .cleanFull]] minus its duplicate-side anti-join (that is the
+    * separate [[nearDupGateRepr]] stage a production ingest composes
+    * around this one). Emits (doc_id, quality, n_pii, redacted_md5) for
+    * admitted documents. Stateless map-only — append mode, no state
+    * store, no watermark; the repetition verdict uses the per-row
+    * sorted-bigram-run formulation precisely so NO per-batch shuffle or
+    * state appears here. */
+  def cleanStreamFull(
+      spark: SparkSession, dir: String,
+      minQuality: Double = 0.5, maxFilesPerTrigger: Int = 0): DataFrame =
+    graft.operators.CleanCorpus.scrubTail(
+      graft.operators.CleanCorpus.scoredKeepFull(
+        fileSource(spark, dir, docSchema, maxFilesPerTrigger), minQuality)
+        .select(col("doc_id"), col("quality"), col("text")))
+
   /** Streaming NEAR-dup gate (r9): flag incoming documents that are
     * MinHash near-copies of the EXISTING corpus at `sfDir` — the batch
     * [[graft.operators.Dedup.nearDupGate]] over a streaming source.

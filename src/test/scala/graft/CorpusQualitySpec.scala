@@ -91,6 +91,34 @@ class CorpusQualitySpec extends SparkSpec {
     }
   }
 
+  // --- pipeline_clean_full ---
+
+  test("full cleaning pipeline equals the stage-wise composition of its graded parts") {
+    import graft.operators.CleanCorpus
+    val full = CleanCorpus.cleanFull(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2), r.getString(3)))
+      .toMap
+    assert(full.nonEmpty)
+    // survivors = pipeline_clean's survivors minus the repetitive docs —
+    // this also pins the per-row sorted-bigram-run verdict against
+    // text_repetition's groupBy formulation on every graded document
+    val cleanQ = CleanCorpus.clean(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val repetitive = TextAnalysis.repetition(spark, sfDir)
+      .where(col("repetitive")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(full.keySet == cleanQ.keySet -- repetitive)
+    // per-doc payloads: quality from the clean stage, scrub columns from
+    // the graded text_pii (count sum + identical redaction digest)
+    val pii = TextAnalysis.piiScrub(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1) + r.getInt(2) + r.getInt(3), r.getString(4)))).toMap
+    full.foreach { case (id, (q, nPii, digest)) =>
+      assert(q == cleanQ(id), s"quality @ $id")
+      assert((nPii, digest) == pii(id), s"scrub @ $id")
+    }
+  }
+
   // --- corpus_dup_profile ---
 
   test("dup profile: histogram of normalized duplicate-group sizes") {

@@ -66,6 +66,44 @@ class CorpusStreamSpec extends SparkSpec {
       s"batch clean emitted rows the verdict stage rejects: ${cleaned -- streamed}")
   }
 
+  test("streaming FULL clean stage matches the batch composed verdict across micro-batches (r14)") {
+    val dir = Files.createTempDirectory("clean_full_stream").toString
+    Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .repartition(3)
+      .write.mode("overwrite").json(dir)
+
+    // append mode + maxFilesPerTrigger=1 forces three separate stateless
+    // micro-batches — the full verdict (quality + langid + repetition)
+    // and the scrub must be per-row computable for this to even run
+    val q = CorpusStream.cleanStreamFull(spark, dir, maxFilesPerTrigger = 1)
+      .writeStream
+      .format("memory")
+      .queryName("clean_full_stream_spec")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("clean_full_stream_spec").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getString(3)))
+      .toSet
+    val expected = graft.operators.CleanCorpus.scrubTail(
+        graft.operators.CleanCorpus.scoredKeepFull(
+          Tables.documents(spark, sfDir).select("doc_id", "text"), 0.5)
+          .select(col("doc_id"), col("quality"), col("text")))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(streamed.nonEmpty && streamed == expected)
+    // the batch composed pipeline is this verdict minus the duplicate ids
+    val full = graft.operators.CleanCorpus.cleanFull(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(full.subsetOf(streamed),
+      s"batch cleanFull emitted rows the stream stage rejects: ${full -- streamed}")
+  }
+
   test("streaming near-dup gate matches the batch gate, stateless, across micro-batches") {
     import spark.implicits._
     // incoming mix: exact copies of corpus documents under NEW ids (must
