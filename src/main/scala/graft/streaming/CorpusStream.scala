@@ -140,6 +140,59 @@ object CorpusStream {
       spark, sfDir, minEstimate = minEstimate, maxDf = maxDf,
       stateTtl = Some(stateTtl))
 
+  /** The per-batch ADMIT decision shared by [[ingestPipeline]] and its
+    * batch-backfill equivalent: the full clean verdict (quality + langid
+    * + repetition, one codegen'd pass), then the representative-level
+    * near-dup gate against the EXISTING corpus at `sfDir` and the
+    * flagged-complement anti-join. Output: the admitted (doc_id, text,
+    * lang) rows, ready for `add_texts`. Every stage is the shared batch
+    * implementation — that sharing is what makes backfill and live
+    * ingest provably agree (spec-pinned). */
+  def admitBatch(
+      spark: SparkSession, sfDir: String, docs: DataFrame,
+      minQuality: Double = 0.5): DataFrame = {
+    val scored = graft.operators.CleanCorpus.scoredKeepFull(docs, minQuality)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val flags = graft.operators.Dedup.nearDupGateRepr(
+      scored.select(col("doc_id"), col("text")), spark, sfDir)
+    scored.join(flags.select("doc_id"), Seq("doc_id"), "left_anti")
+  }
+
+  /** End-to-end LIVE ingest (r14): the reference's actual operating shape
+    * — documents arrive at a RUNNING store, get cleaned, near-dup-gated
+    * against the existing corpus, and the admitted remainder is
+    * `add_texts`-ed as one delta generation per micro-batch
+    * (/root/reference/app.py:24-47 runs exactly this pipeline, with the
+    * cleaning/dedup inside the closed vector-store service). One
+    * streaming query over a (doc_id, text, lang) json file source;
+    * each micro-batch runs [[admitBatch]] then the shared CRUD append —
+    * `foreachBatch`, not a pure streaming DAG, because admission is the
+    * flagged-COMPLEMENT anti-join (not expressible stream-stream against
+    * a streaming aggregate) and the store append is the transactional
+    * CRUD surface. An all-rejected micro-batch appends nothing (no empty
+    * generations). stream == batch composition is pinned by
+    * CorpusStreamSpec. */
+  def ingestPipeline(
+      spark: SparkSession,
+      sfDir: String,
+      streamDir: String,
+      storePath: String,
+      startGen: Long,
+      checkpointDir: String,
+      minQuality: Double = 0.5,
+      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    fileSource(spark, streamDir,
+      graft.streaming.StoreStream.textSchema, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = admitBatch(batch.sparkSession, sfDir, batch, minQuality)
+        if (!admitted.isEmpty)
+          graft.operators.TextStore.addTexts(
+            batch.sparkSession, storePath, admitted, startGen + batchId)
+      }
+      .start()
+
   val vecSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))

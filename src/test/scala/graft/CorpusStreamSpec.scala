@@ -104,6 +104,82 @@ class CorpusStreamSpec extends SparkSpec {
       s"batch cleanFull emitted rows the stream stage rejects: ${full -- streamed}")
   }
 
+  test("end-to-end live ingest: clean -> gate -> running store equals the batch composition (r14)") {
+    import spark.implicits._
+    import graft.operators.{CleanCorpus, TextStore}
+    // incoming mix, one class per rejection stage plus the admitted class:
+    //   - re-ingests of corpus docs that PASS the full clean verdict
+    //     (so only the near-dup gate can reject them)
+    //   - a low-quality doc (clean quality gate rejects)
+    //   - a repetitive doc that passes quality+langid (repetition gate rejects)
+    //   - novel good docs (must be admitted and become retrievable)
+    val cleanIds = CleanCorpus.cleanFull(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).take(4).toSet
+    val reIngest = Tables.documents(spark, sfDir)
+      .where(col("doc_id").isin(cleanIds.toSeq: _*))
+      .select("text").collect().map(_.getString(0)).zipWithIndex
+      .map { case (t, i) => (930000L + i, t, "en") }
+    val lowQ = Seq((940000L, "zzz", "en"))
+    val repetitive = Seq((941000L,
+      Array.fill(60)("spam").mkString(" "), "en"))
+    val novel = (0 until 4).map(i =>
+      (970000L + i, s"qqwzx$i entirely novel payload nothing shared " +
+        s"with the corpus zebra$i quark$i flux$i jolt$i vex$i nymph$i " +
+        s"a small fast document about glacier$i and meadow$i", "en"))
+    val incoming = (reIngest ++ lowQ ++ repetitive ++ novel).toSeq
+    val incomingDf = incoming.toDF("doc_id", "text", "lang")
+    // the repetitive doc really is rejected by the repetition gate, not
+    // the quality/langid stage
+    assert(CleanCorpus.scoredKeep(incomingDf, 0.5)
+      .where(col("doc_id") === 941000L).count() == 1)
+
+    val dir = Files.createTempDirectory("ingest_e2e_stream").toString
+    incomingDf.repartition(3).write.mode("overwrite").json(dir)
+
+    // LIVE: the composed pipeline over forced multi-file micro-batches,
+    // appending to a RUNNING store seeded from the corpus
+    val streamedStore = Files.createTempDirectory("ingest_e2e_store").toString
+    TextStore.writeChunkStore(spark, sfDir, streamedStore)
+    val q = CorpusStream.ingestPipeline(spark, sfDir, dir, streamedStore,
+      startGen = 1L,
+      checkpointDir = Files.createTempDirectory("ingest_e2e_ckpt").toString,
+      maxFilesPerTrigger = 1)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    // BATCH: the same composition in one shot into a second store
+    val batchStore = Files.createTempDirectory("ingest_e2e_batch").toString
+    TextStore.writeChunkStore(spark, sfDir, batchStore)
+    val admitted = CorpusStream.admitBatch(spark, sfDir, incomingDf)
+    val admittedIds = admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admittedIds == novel.map(_._1).toSet,
+      s"admit decided the wrong set: $admittedIds")
+    TextStore.addTexts(spark, batchStore, admitted, gen = 1L)
+
+    // the two stores hold the SAME admitted chunks (gen numbering is the
+    // only allowed difference: one delta gen per non-empty micro-batch
+    // live, one gen batch)
+    def delta(path: String): Set[(Long, Int, String)] =
+      spark.read.parquet(s"$path/vectors_delta")
+        .where(!col("deleted"))
+        .select("vec_id", "label", "metadata").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val streamedRows = delta(streamedStore)
+    assert(streamedRows.nonEmpty)
+    assert(streamedRows == delta(batchStore))
+    // and no rejected class leaked into the store
+    val storedDocIds = streamedRows
+      .map(t => t._1 / 4096L) // vec_id = doc_id * ChunkMod + chunk_id
+    assert(storedDocIds == novel.map(_._1).toSet,
+      s"store holds non-admitted docs: ${storedDocIds -- novel.map(_._1)}")
+
+    // retrieval surface: a novel doc's text finds its own chunk top-1 on
+    // the live store
+    val hit = TextStore.searchByText(spark, streamedStore, novel.head._2, k = 1)
+      .collect().head // (doc_id, chunk_id, score)
+    assert(hit.getLong(0) == novel.head._1)
+  }
+
   test("streaming near-dup gate matches the batch gate, stateless, across micro-batches") {
     import spark.implicits._
     // incoming mix: exact copies of corpus documents under NEW ids (must
