@@ -154,6 +154,7 @@ object SparkEntry {
         filter = Some(get_json_object(col("metadata"), "$.lang") === "en"))
     }),
     "knn_threshold_ivf" -> ((s, d) => VectorIndex.ivfThresholdStore(s, d)),
+    "knn_threshold_lsh" -> ((s, d) => VectorIndex.lshThresholdStore(s, d)),
     "pq_build" -> ((s, d) => VectorIndex.pqBuild(s, d)),
     "knn_pq" -> ((s, d) => VectorIndex.pqSearch(s, d)),
     "knn_ivf_pq" -> ((s, d) => VectorIndex.ivfPqSearchStore(s, d)),
@@ -167,6 +168,7 @@ object SparkEntry {
     "ann_eval" -> ((s, d) => VectorIndex.annEval(s, d)),
     "ann_eval_lsh" -> ((s, d) => VectorIndex.annEvalLsh(s, d)),
     "ann_eval_pq" -> ((s, d) => VectorIndex.annEvalPq(s, d)),
+    "ann_eval_ivf_pq" -> ((s, d) => VectorIndex.annEvalIvfPq(s, d)),
     "lsh_bucket" -> ((s, d) => VectorIndex.lshBuckets(s, d)),
     "lsh_search" -> ((s, d) => VectorIndex.lshSearchStore(s, d)),
     "lsh_filtered_json" -> ((s, d) => {
@@ -395,6 +397,76 @@ object SparkEntry {
     |  WHERE s.step < 10)
     |SELECT vec_id, label, score, CAST(step AS INTEGER) AS mmr_rank
     |FROM sel ORDER BY mmr_rank""".stripMargin
+
+  /** Shared recall@5 head for the ann_eval_* oracles — appended after any
+    * batch replay chain ending in `sc(query_id, vec_id, score)`: per-query
+    * approximate top-5 vs exact top-5 overlap, zero-overlap queries kept
+    * at recall 0, one summary row. */
+  private val recallOracleTail: String =
+    """ap AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+      |    FROM sc) WHERE rn <= 5),
+      |ex AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+      |    FROM (
+      |      SELECT q.vec_id AS query_id, e.vec_id,
+      |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
+      |      FROM embeddings e CROSS JOIN embeddings q
+      |      WHERE q.vec_id < 5 AND e.vec_id >= 5))
+      |  WHERE rn <= 5),
+      |h AS (
+      |  SELECT ex.query_id, count(*) AS n_hit
+      |  FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1),
+      |pr AS (
+      |  SELECT q.query_id, coalesce(h.n_hit, 0) / 5.0 AS recall
+      |  FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id))
+      |SELECT count(*) AS n_queries, 5 AS k,
+      |  FLOOR(avg(recall) * 10000 + 0.5) / 10000.0 AS mean_recall,
+      |  FLOOR(min(recall) * 10000 + 0.5) / 10000.0 AS min_recall
+      |FROM pr""".stripMargin
+
+  /** Batch IVF-PQ replay ending in `sc(query_id, vec_id, score)` — the
+    * unprefixed model chain supplies the coarse centroids (per-query
+    * probe sets + the store's partition assignment `fa`), the p-prefixed
+    * chain the subspace codebooks (the store's codes column `pfa`);
+    * per-query integer ADC over probed partitions only, per-query
+    * fetchK=50 window, exact cosine re-rank. Shared by knn_batch_ivf_pq
+    * and ann_eval_ivf_pq. */
+  private val batchIvfPqCtes: String =
+    """qd AS (
+      |  SELECT e.vec_id AS query_id, c.cid, sum((c.cq - e.q) * (c.cq - e.q)) AS dd
+      |  FROM eq e JOIN c5 c USING (dim)
+      |  WHERE e.vec_id < 5 GROUP BY 1, 2),
+      |qprobes AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT query_id, cid,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY dd, cid) AS rn
+      |    FROM qd) WHERE rn <= 4),
+      |qq AS (SELECT vec_id AS query_id, dim, q FROM eq WHERE vec_id < 5),
+      |lut AS (
+      |  SELECT q.query_id, c.dim // 8 AS sub, c.cid, CAST(sum(q.q * c.cq) AS BIGINT) AS ip
+      |  FROM pc5 c JOIN qq q USING (dim) GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT l.query_id, f.vec_id, CAST(sum(l.ip) AS BIGINT) AS adc
+      |  FROM pfa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
+      |  JOIN fa iv ON iv.vec_id = f.vec_id
+      |  JOIN qprobes p ON p.query_id = l.query_id AND p.cid = iv.cid
+      |  WHERE f.vec_id >= 5 GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+      |    FROM adc) WHERE rn <= 50),
+      |qvb AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+      |       FROM embeddings WHERE vec_id < 5),
+      |sc AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qvb.v), 4) AS score
+      |  FROM cand c JOIN embeddings e USING (vec_id) JOIN qvb USING (query_id))""".stripMargin
 
   private def lshStoreOracleSql(
       extraFilter: String,
@@ -2222,128 +2294,32 @@ object SparkEntry {
     // runs only over vectors whose partition is in the query's probe set,
     // then the per-query fetchK=50 window and the exact re-rank
     "knn_batch_ivf_pq" ->
-      (s"WITH $ivfModelCtes,\n" + pqIterCtes("p") + ",\n" +
-        """qd AS (
-          |  SELECT e.vec_id AS query_id, c.cid, sum((c.cq - e.q) * (c.cq - e.q)) AS dd
-          |  FROM eq e JOIN c5 c USING (dim)
-          |  WHERE e.vec_id < 5 GROUP BY 1, 2),
-          |qprobes AS (
-          |  SELECT query_id, cid FROM (
-          |    SELECT query_id, cid,
-          |      row_number() OVER (PARTITION BY query_id ORDER BY dd, cid) AS rn
-          |    FROM qd) WHERE rn <= 4),
-          |qq AS (SELECT vec_id AS query_id, dim, q FROM eq WHERE vec_id < 5),
-          |lut AS (
-          |  SELECT q.query_id, c.dim // 8 AS sub, c.cid, CAST(sum(q.q * c.cq) AS BIGINT) AS ip
-          |  FROM pc5 c JOIN qq q USING (dim) GROUP BY 1, 2, 3),
-          |adc AS (
-          |  SELECT l.query_id, f.vec_id, CAST(sum(l.ip) AS BIGINT) AS adc
-          |  FROM pfa f JOIN lut l ON l.sub = f.sub AND l.cid = f.cid
-          |  JOIN fa iv ON iv.vec_id = f.vec_id
-          |  JOIN qprobes p ON p.query_id = l.query_id AND p.cid = iv.cid
-          |  WHERE f.vec_id >= 5 GROUP BY 1, 2),
-          |cand AS (
-          |  SELECT query_id, vec_id FROM (
-          |    SELECT query_id, vec_id,
-          |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
-          |    FROM adc) WHERE rn <= 50),
-          |qvb AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
-          |       FROM embeddings WHERE vec_id < 5),
-          |sc AS (
-          |  SELECT c.query_id, c.vec_id,
-          |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qvb.v), 4) AS score
-          |  FROM cand c JOIN embeddings e USING (vec_id) JOIN qvb USING (query_id))
-          |SELECT query_id, vec_id, score, rank FROM (
+      (s"WITH $ivfModelCtes,\n" + pqIterCtes("p") + ",\n" + batchIvfPqCtes + "\n" +
+        """SELECT query_id, vec_id, score, rank FROM (
           |  SELECT query_id, vec_id, score,
           |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank
           |  FROM sc) WHERE rank <= 5
           |ORDER BY query_id, rank""".stripMargin),
+    // recall@k of the composed IVF-PQ batch probe vs the exact batch scan
+    // — the production configuration's health check (both loss mechanisms:
+    // coarse pruning AND quantization mis-ranking)
+    "ann_eval_ivf_pq" ->
+      (s"WITH $ivfModelCtes,\n" + pqIterCtes("p") + ",\n" + batchIvfPqCtes +
+        ",\n" + recallOracleTail),
     // recall@k of the ADC-ranked PQ batch probe vs the exact batch scan —
     // the codebook-fit health check, completing the eval surface across
     // all three index families
     "ann_eval_pq" ->
       (s"WITH $pqModelCtes,\n" + batchPqCtes + ",\n" +
-        """ap AS (
-          |  SELECT query_id, vec_id FROM (
-          |    SELECT query_id, vec_id,
-          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
-          |    FROM sc) WHERE rn <= 5),
-          |ex AS (
-          |  SELECT query_id, vec_id FROM (
-          |    SELECT query_id, vec_id,
-          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
-          |    FROM (
-          |      SELECT q.vec_id AS query_id, e.vec_id,
-          |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
-          |      FROM embeddings e CROSS JOIN embeddings q
-          |      WHERE q.vec_id < 5 AND e.vec_id >= 5))
-          |  WHERE rn <= 5),
-          |h AS (
-          |  SELECT ex.query_id, count(*) AS n_hit
-          |  FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1),
-          |pqr AS (
-          |  SELECT q.query_id, coalesce(h.n_hit, 0) / 5.0 AS recall
-          |  FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id))
-          |SELECT count(*) AS n_queries, 5 AS k,
-          |  FLOOR(avg(recall) * 10000 + 0.5) / 10000.0 AS mean_recall,
-          |  FLOOR(min(recall) * 10000 + 0.5) / 10000.0 AS min_recall
-          |FROM pqr""".stripMargin),
+        recallOracleTail),
     // recall@k of the multi-probe LSH batch probe vs the exact batch scan
     "ann_eval_lsh" ->
       (s"WITH ${batchLshCtes},\n" +
-        """ap AS (
-          |  SELECT query_id, vec_id FROM (
-          |    SELECT query_id, vec_id,
-          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
-          |    FROM sc) WHERE rn <= 5),
-          |ex AS (
-          |  SELECT query_id, vec_id FROM (
-          |    SELECT query_id, vec_id,
-          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
-          |    FROM (
-          |      SELECT q.vec_id AS query_id, e.vec_id,
-          |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
-          |      FROM embeddings e CROSS JOIN embeddings q
-          |      WHERE q.vec_id < 5 AND e.vec_id >= 5))
-          |  WHERE rn <= 5),
-          |h AS (
-          |  SELECT ex.query_id, count(*) AS n_hit
-          |  FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1),
-          |pq AS (
-          |  SELECT q.query_id, coalesce(h.n_hit, 0) / 5.0 AS recall
-          |  FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id))
-          |SELECT count(*) AS n_queries, 5 AS k,
-          |  FLOOR(avg(recall) * 10000 + 0.5) / 10000.0 AS mean_recall,
-          |  FLOOR(min(recall) * 10000 + 0.5) / 10000.0 AS min_recall
-          |FROM pq""".stripMargin),
+        recallOracleTail),
     // recall@k of the pruned batch probe vs the exact batch scan, as data
     "ann_eval" ->
       (s"WITH $ivfModelCtes,\n" + batchIvfCtes + ",\n" +
-        """ap AS (
-          |  SELECT query_id, vec_id FROM (
-          |    SELECT query_id, vec_id,
-          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
-          |    FROM sc) WHERE rn <= 5),
-          |ex AS (
-          |  SELECT query_id, vec_id FROM (
-          |    SELECT query_id, vec_id,
-          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
-          |    FROM (
-          |      SELECT q.vec_id AS query_id, e.vec_id,
-          |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
-          |      FROM embeddings e CROSS JOIN embeddings q
-          |      WHERE q.vec_id < 5 AND e.vec_id >= 5))
-          |  WHERE rn <= 5),
-          |h AS (
-          |  SELECT ex.query_id, count(*) AS n_hit
-          |  FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1),
-          |pq AS (
-          |  SELECT q.query_id, coalesce(h.n_hit, 0) / 5.0 AS recall
-          |  FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id))
-          |SELECT count(*) AS n_queries, 5 AS k,
-          |  FLOOR(avg(recall) * 10000 + 0.5) / 10000.0 AS mean_recall,
-          |  FLOOR(min(recall) * 10000 + 0.5) / 10000.0 AS min_recall
-          |FROM pq""".stripMargin),
+        recallOracleTail),
     // the PQ family replayed end to end: per-subspace fixed-point Lloyd
     // (pqModelCtes), then — for the search — the integer ADC LUT and the
     // exact re-rank of the top-fetchK candidates
@@ -2409,6 +2385,13 @@ object SparkEntry {
     // the shared recursive-CTE re-rank
     "knn_mmr_lsh" -> lshStoreOracleSql(
       extraFilter = "", tail = mmrStoreTail),
+    // threshold mode over the same probed candidate set: all hits >= 0.2,
+    // no k — the LSH twin of knn_threshold_ivf's tail
+    "knn_threshold_lsh" -> lshStoreOracleSql(
+      extraFilter = "",
+      tail = """SELECT vec_id, label, bucket, score FROM cand
+               |WHERE score >= 0.2
+               |ORDER BY score DESC, vec_id""".stripMargin),
     // the hyperplanes are deterministic model state (SplitMix64, seed 7),
     // so they inline as DOUBLE list literals (float→double is exact and
     // Scala's shortest-round-trip repr parses back bit-identically) and

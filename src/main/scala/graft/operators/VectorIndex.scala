@@ -1160,21 +1160,16 @@ object VectorIndex {
     * store runs continuously (is the index still good enough?), expressed
     * as one summary row. Everything downstream of the two k·nQueries-row
     * results is bounded arithmetic. */
-  def annEval(
-      spark: SparkSession,
-      sfDir: String,
-      nQueries: Int = 5,
-      k: Int = 5,
-      nprobe: Int = 4): DataFrame = {
-    val exact = KnnSearch.batchTopK(spark, sfDir, nQueries, k)
-      .select(col("query_id"), col("vec_id"))
-    val approx = batchIvfSearchStore(spark, sfDir, nQueries, k, nprobe)
-      .select(col("query_id"), col("vec_id"))
+  /** The recall@k summary shared by every index family's eval query:
+    * per-query overlap of the approximate top-k with the exact top-k
+    * (a query with ZERO overlap still contributes 0 to the mean — the
+    * left join back to the query list, not a vanish), then one
+    * (n_queries, k, mean_recall, min_recall) row. */
+  private def recallSummary(
+      exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val hits = exact.join(approx, Seq("query_id", "vec_id"))
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_hit"))
-    // left join back to the query list so a query with ZERO overlap still
-    // contributes 0 to the mean instead of vanishing
     val perQuery = exact.select(col("query_id")).distinct()
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
@@ -1185,6 +1180,19 @@ object VectorIndex {
       TextAnalysis.round4(avg(col("recall"))).as("mean_recall"),
       TextAnalysis.round4(min(col("recall"))).as("min_recall"))
   }
+
+  def annEval(
+      spark: SparkSession,
+      sfDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 4): DataFrame =
+    recallSummary(
+      KnnSearch.batchTopK(spark, sfDir, nQueries, k)
+        .select(col("query_id"), col("vec_id")),
+      batchIvfSearchStore(spark, sfDir, nQueries, k, nprobe)
+        .select(col("query_id"), col("vec_id")),
+      k)
 
   /** Batch kNN THROUGH the LSH index — [[batchIvfSearchStore]]'s contract
     * on the bucket-partitioned layout: each query's margin-aware
@@ -1235,24 +1243,13 @@ object VectorIndex {
       sfDir: String,
       nQueries: Int = 5,
       k: Int = 5,
-      probeHamming: Int = 2): DataFrame = {
-    val exact = KnnSearch.batchTopK(spark, sfDir, nQueries, k)
-      .select(col("query_id"), col("vec_id"))
-    val approx = batchLshSearchStore(spark, sfDir, nQueries, k, probeHamming)
-      .select(col("query_id"), col("vec_id"))
-    val hits = exact.join(approx, Seq("query_id", "vec_id"))
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_hit"))
-    val perQuery = exact.select(col("query_id")).distinct()
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"),
-        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
-    perQuery.agg(
-      count(lit(1)).as("n_queries"),
-      lit(k).as("k"),
-      TextAnalysis.round4(avg(col("recall"))).as("mean_recall"),
-      TextAnalysis.round4(min(col("recall"))).as("min_recall"))
-  }
+      probeHamming: Int = 2): DataFrame =
+    recallSummary(
+      KnnSearch.batchTopK(spark, sfDir, nQueries, k)
+        .select(col("query_id"), col("vec_id")),
+      batchLshSearchStore(spark, sfDir, nQueries, k, probeHamming)
+        .select(col("query_id"), col("vec_id")),
+      k)
 
   /** Index-health eval for the PQ family — [[annEval]]'s measurement for
     * the third index kind: recall@k of the ADC-ranked batch probe
@@ -1266,24 +1263,36 @@ object VectorIndex {
       sfDir: String,
       nQueries: Int = 5,
       k: Int = 5,
-      fetchK: Int = 100): DataFrame = {
-    val exact = KnnSearch.batchTopK(spark, sfDir, nQueries, k)
-      .select(col("query_id"), col("vec_id"))
-    val approx = batchPqSearch(spark, sfDir, nQueries, k, fetchK)
-      .select(col("query_id"), col("vec_id"))
-    val hits = exact.join(approx, Seq("query_id", "vec_id"))
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_hit"))
-    val perQuery = exact.select(col("query_id")).distinct()
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"),
-        (coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble)).as("recall"))
-    perQuery.agg(
-      count(lit(1)).as("n_queries"),
-      lit(k).as("k"),
-      TextAnalysis.round4(avg(col("recall"))).as("mean_recall"),
-      TextAnalysis.round4(min(col("recall"))).as("min_recall"))
-  }
+      fetchK: Int = 100): DataFrame =
+    recallSummary(
+      KnnSearch.batchTopK(spark, sfDir, nQueries, k)
+        .select(col("query_id"), col("vec_id")),
+      batchPqSearch(spark, sfDir, nQueries, k, fetchK)
+        .select(col("query_id"), col("vec_id")),
+      k)
+
+  /** Index-health eval for the COMPOSED IVF-PQ family (r14, completing
+    * the eval surface across all four index configurations): recall@k of
+    * the partition-pruned, ADC-ranked, exactly-re-ranked batch probe
+    * ([[batchIvfPqSearchStore]]) vs the exact batch scan. IVF-PQ loses
+    * recall through BOTH mechanisms the single-family evals isolate —
+    * coarse pruning (a true neighbor in an unprobed partition) and
+    * quantization error (ADC mis-ranking inside the fetchK window) — so
+    * its health check is the one that tracks the production
+    * configuration most deployments actually run. */
+  def annEvalIvfPq(
+      spark: SparkSession,
+      sfDir: String,
+      nQueries: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 4,
+      fetchK: Int = 50): DataFrame =
+    recallSummary(
+      KnnSearch.batchTopK(spark, sfDir, nQueries, k)
+        .select(col("query_id"), col("vec_id")),
+      batchIvfPqSearchStore(spark, sfDir, nQueries, k, nprobe, fetchK)
+        .select(col("query_id"), col("vec_id")),
+      k)
 
   /** IVF-PQ search through the materialized store — the classic pairing
     * (Jégou et al., TPAMI'11) the quantized-index family is built on:
@@ -1432,15 +1441,41 @@ object VectorIndex {
       queryVec: Array[Float],
       k: Int = 10,
       probeHamming: Int = 2,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      scoreThreshold: Option[Double] = None): DataFrame = {
     val planes = readModel(spark, path, LshLayout)
     val probed = multiProbeBuckets(planes, queryVec, probeHamming)
-    resolvedPartitions(spark, path, LshLayout, probed, filter)
+    val scored = resolvedPartitions(spark, path, LshLayout, probed, filter)
       .select(col("vec_id"), col("label"), col("bucket"),
         round(VectorFunctions.cosineSim(col("embedding"), typedLit(queryVec)), 4)
           .as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(k)
+    // threshold mode (the reference's score_threshold composed with the
+    // LSH layout): all probed hits ≥ threshold, no k — same contract
+    // switch as [[searchStore]]'s
+    val thresholded = scoreThreshold.fold(scored)(t =>
+      scored.where(col("score") >= t))
+    val ordered = thresholded.orderBy(col("score").desc, col("vec_id"))
+    if (scoreThreshold.isDefined) ordered else ordered.limit(k)
+  }
+
+  /** Score-threshold search through the materialized LSH store — the
+    * bucket-layout twin of [[ivfThresholdStore]] (r14, layout symmetry):
+    * flip-cost multi-probe pruned read, all hits ≥ threshold, no k. The
+    * recall contract is the probe's, exactly like `knn_threshold_ivf`'s
+    * is its probed partitions': a hit outside the probed buckets is not
+    * returned — the spec pins full-probe equality with the exact
+    * threshold scan. */
+  def lshThresholdStore(
+      spark: SparkSession,
+      sfDir: String,
+      threshold: Double = 0.2,
+      probeHamming: Int = 2,
+      queryVecId: Long = 0L): DataFrame = {
+    val path = ensureLshStore(spark, sfDir)
+    val qv = KnnSearch.queryVector(spark, sfDir, queryVecId)
+    searchLshStore(spark, path, qv, probeHamming = probeHamming,
+      filter = Some(col("vec_id") =!= queryVecId),
+      scoreThreshold = Some(threshold))
   }
 
   /** The graded LSH search path: multi-probe search through the

@@ -178,6 +178,25 @@ class LshStoreSpec extends SparkSpec {
     assert(pruned.map(_._2).toSeq == (1 to 10))
   }
 
+  test("lsh threshold search at full probe equals the exact threshold scan") {
+    val path = VectorIndex.ensureLshStore(spark, sfDir)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    val stored = VectorIndex.searchLshStore(spark, path, qv,
+      probeHamming = fullProbe, filter = Some(col("vec_id") =!= 0L),
+      scoreThreshold = Some(0.2))
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    val exact = KnnSearch.aboveThreshold(spark, sfDir, 0.2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(exact.nonEmpty)
+    assert(stored == exact,
+      s"store/exact diff: ${stored.diff(exact)} / ${exact.diff(stored)}")
+    // graded default (probeHamming = 2): hits are a subset of the exact
+    // threshold set — the probe's recall contract
+    val pruned = VectorIndex.lshThresholdStore(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+    assert(pruned.nonEmpty && pruned.subsetOf(exact))
+  }
+
   test("annEvalLsh's summary equals the hand-joined recall of its two inputs") {
     val exact = graft.operators.KnnSearch.batchTopK(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)

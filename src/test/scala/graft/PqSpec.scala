@@ -141,6 +141,21 @@ class PqSpec extends SparkSpec {
       s"batch=${batch.toSeq} single=${single.toSeq}")
   }
 
+  test("annEvalIvfPq's summary equals the hand-joined recall of its two inputs") {
+    val exact = graft.operators.KnnSearch.batchTopK(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val approx = VectorIndex.batchIvfPqSearchStore(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val recalls = exact.map { case (q, es) =>
+      val a = approx.getOrElse(q, Array.empty).map(_._2).toSet
+      es.count(e => a.contains(e._2)).toDouble / 5.0
+    }.toSeq
+    val r = VectorIndex.annEvalIvfPq(spark, sfDir).collect().head
+    assert(r.getLong(0) == recalls.size)
+    assert(math.abs(r.getDouble(2) - recalls.sum / recalls.size) < 1e-9)
+    assert(math.abs(r.getDouble(3) - recalls.min) < 1e-9)
+  }
+
   test("ADC equals the integer dot against the quantized reconstruction") {
     val cb = VectorIndex.trainPqCodebooks(spark, sfDir)
     val cbQ = cb.map(_.map(_.map(f => IndexOps.quantize(f.toDouble))))
