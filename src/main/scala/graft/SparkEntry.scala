@@ -94,6 +94,7 @@ object SparkEntry {
     // --- deduplication (training-data pipeline) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_ngram_spans" -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_lsh_repr" -> ((s, d) => Dedup.minhashLshRepr(s, d)),
     "corpus_neardup_gate" -> ((s, d) => {
@@ -212,6 +213,7 @@ object SparkEntry {
     "text_langid" -> Seq("doc_id"),
     "text_fingerprint" -> Seq("doc_id"),
     "text_repetition" -> Seq("doc_id"),
+    "dedup_ngram_spans" -> Seq("doc_id"),
     "text_pii" -> Seq("doc_id"),
     "corpus_dup_profile" -> Seq("copies"),
     "store_get" -> Seq("vec_id"),
@@ -1966,6 +1968,29 @@ object SparkEntry {
         |  ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) AS jaccard
         |FROM p WHERE ROUND(common / CAST(n_a + n_b - common AS DOUBLE), 4) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // substring-granular duplication: every 8-token window's corpus
+    // occurrence count (within-doc repeats included), per-doc dup fraction
+    "dedup_ngram_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS g(i)
+        |  WHERE len(toks) >= 8),
+        |tot AS (SELECT win, count(*) AS tcnt FROM w GROUP BY 1),
+        |per AS (
+        |  SELECT w.doc_id,
+        |    count(*) AS n_windows,
+        |    sum(CASE WHEN tot.tcnt >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM w JOIN tot USING (win) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        |  CASE WHEN coalesce(per.n_windows, 0) > 0
+        |    THEN FLOOR(per.n_dup / CAST(per.n_windows AS DOUBLE) * 10000 + 0.5) / 10000.0
+        |    ELSE 0.0 END AS dup_fraction
+        |FROM t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // simhash is a deterministic integer pipeline (Mersenne-61 poly hashes,
     // bit votes, popcount), so the full contract — any-band 16-bit block
     // match AND hamming ≤ 3 — is SQL-expressible: the oracle recomputes the

@@ -622,6 +622,53 @@ object TextAnalysis {
         col("top_bigram_cnt"), col("top_bigram_ratio"), col("repetitive"))
   }
 
+  /** Substring-granular duplication profile (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": repeated
+    * SPANS degrade models even inside otherwise-unique documents — the
+    * boilerplate/template mass whole-document dedup cannot see): for
+    * every document, the fraction of its k-token windows whose window
+    * text occurs ≥ 2 times across the corpus (within-document repeats
+    * count — a doc that repeats its own span IS span-duplicated).
+    * Output: (doc_id, n_windows, n_dup_windows, dup_fraction 4dp).
+    *
+    * Scale shape: UNIQUE-FIRST over the normalized unique table — window
+    * strings are a function of the lower-alnum token stream, which the
+    * dedup normalization leaves invariant, so windows explode once per
+    * DISTINCT text and corpus totals weigh by copy count `w` (a window
+    * in a doc with w copies occurs w× per in-doc position). Two
+    * map-side-partial aggregations — per-(uid, window) position counts,
+    * then per-window corpus totals — and a window-keyed join; bounded
+    * aggregates throughout, never a pair expansion, so the plan is
+    * output-linear at any duplication factor (the same reason the repr
+    * dedup modes exist). */
+  def dupSpans(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    val u = Dedup.uniqueDocs(spark, sfDir)
+      .select(col("doc_id").as("uid"), col("w"),
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+    val wins = u.select(col("uid"), col("w"),
+      explode(
+        when(size(col("toks")) >= k, expr(
+          s"transform(sequence(1, size(toks) - ${k - 1}), i -> array_join(slice(toks, i, $k), ' '))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("win"))
+    val perDocWin = wins.groupBy(col("uid"), col("w"), col("win"))
+      .agg(count(lit(1)).as("c"))
+    val totals = perDocWin.groupBy(col("win"))
+      .agg(sum(col("c") * col("w")).as("t"))
+    val perUid = perDocWin.join(totals, "win")
+      .groupBy(col("uid"))
+      .agg(sum(col("c")).as("n_windows"),
+        sum(when(col("t") >= 2, col("c")).otherwise(lit(0L)))
+          .as("n_dup_windows"))
+    Dedup.uniqueMembers(spark, sfDir)
+      .join(perUid, Seq("uid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          round4(col("n_dup_windows") / col("n_windows")))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
   /** PII patterns with identical semantics in Java regex (Spark) and RE2
     * (DuckDB): character classes, bounded/unbounded counted repeats, no
     * lookarounds, no alternation whose leftmost-first order could differ. */

@@ -91,6 +91,39 @@ class CorpusQualitySpec extends SparkSpec {
     }
   }
 
+  // --- dedup_ngram_spans ---
+
+  test("ngram span dedup: known fractions on a hand corpus, within-doc and cross-doc spans") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans_")
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8" // one exact 8-token window
+    Seq(
+      (0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),   // 10 toks, 3 windows, all unique
+      (1L, s"$span alpha beta"),                 // shares `span` with docs 2,3,4
+      (2L, s"$span  ALPHA beta"),                // normalized copy of doc 1
+      (3L, s"pre1 pre2 $span post1"),            // cross-doc span, unique edges
+      (4L, s"$span mid $span"),                  // within-doc repeat
+      (5L, "short doc under eight")              // < 8 tokens: no windows
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.dupSpans(spark, dir.toString).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r.size == 6)
+    assert(r(0L) == ((3L, 0L, 0.0)), s"unique doc: ${r(0L)}")
+    // docs 1/2 are normalized copies: EVERY window duplicated (w = 2),
+    // identical rows — 10 toks → 3 windows
+    assert(r(1L) == ((3L, 3L, 1.0)), s"copied doc: ${r(1L)}")
+    assert(r(2L) == r(1L))
+    // doc 3: 11 toks → 4 windows; only the exact `span` window (position
+    // 3) also occurs elsewhere — its shifted windows carry unique edges
+    assert(r(3L) == ((4L, 1L, 0.25)), s"cross-doc span: ${r(3L)}")
+    // doc 4: 17 toks → 10 windows; the exact `span` window sits at
+    // positions 1 and 10 (a within-doc repeat counts as duplication);
+    // windows 2-9 all cross `mid` and occur nowhere else
+    assert(r(4L) == ((10L, 2L, 0.2)), s"within-doc repeat: ${r(4L)}")
+    assert(r(5L) == ((0L, 0L, 0.0)), s"sub-window doc: ${r(5L)}")
+  }
+
   // --- pipeline_clean_full ---
 
   test("full cleaning pipeline equals the stage-wise composition of its graded parts") {
