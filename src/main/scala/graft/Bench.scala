@@ -86,9 +86,20 @@ object Bench {
     * SPARK_GRAFT_ONLY naming one, or SPARK_GRAFT_UNFENCE=1, overrides. */
   private val pairModeFence = Set("dedup_simhash", "dedup_embedding")
 
+  /** Scale factor parsed from the data directory's basename. The
+    * pair-mode fence keys off this, so an unparseable name must FAIL,
+    * not default to 0.0 — a large-scale dataset in a directory named
+    * e.g. `corpus/` would otherwise silently unfence the multi-hour
+    * ~214B-row pair expansions. SPARK_GRAFT_UNFENCE stays the explicit
+    * escape hatch for both "unfence a parseable sf" and "my directory
+    * name carries no sf but I know it's small". */
   private def sfOf(sfDir: String): Double = {
     val m = "sf([0-9]*\\.?[0-9]+)".r.findFirstMatchIn(
       new java.io.File(sfDir).getName)
+    require(m.isDefined || sys.env.contains("SPARK_GRAFT_UNFENCE"),
+      s"cannot parse a scale factor from '$sfDir' (expected 'sf<number>' " +
+        "in the basename); the pair-mode fence needs one — set " +
+        "SPARK_GRAFT_UNFENCE=1 to run anyway (pair modes included)")
     m.map(_.group(1).toDouble).getOrElse(0.0)
   }
 
@@ -142,10 +153,12 @@ object Bench {
 
     val calibPre = calibrate(spark, sfDir)
 
-    // SPARK_GRAFT_PASSES=1 halves a multi-hour large-SF sweep at the cost
-    // of including first-touch JIT/Janino warmup in each sample — use it
-    // only where the per-query work dwarfs warmup (sf≥100 full-surface
-    // sweeps); the default 2-pass min stays the small-SF discipline
+    // 2-pass min-of-2 is the default at EVERY scale: r14's single-pass
+    // sf100 sweeps manufactured 8 phantom outliers (events_props_json
+    // 578 s single-pass vs 24.4 s re-measured) that each cost a separate
+    // re-measure artifact — the second pass is cheaper than that
+    // round-trip. SPARK_GRAFT_PASSES=1 stays available for deliberate
+    // cold-cost studies only.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     for (pass_ <- 1 to passes; name <- names) {
       if (pass_ == 2 && name == names.head) { System.gc(); Thread.sleep(1000) }

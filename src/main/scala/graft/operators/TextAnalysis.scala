@@ -640,16 +640,27 @@ object TextAnalysis {
     * then per-window corpus totals — and a window-keyed join; bounded
     * aggregates throughout, never a pair expansion, so the plan is
     * output-linear at any duplication factor (the same reason the repr
-    * dedup modes exist). */
+    * dedup modes exist). The window key is hashed to 8 bytes at explode
+    * time (see below) so both shuffles and the join carry longs, not
+    * k-token strings. */
   def dupSpans(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
     val u = Dedup.uniqueDocs(spark, sfDir)
       .select(col("doc_id").as("uid"), col("w"),
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("toks"))
+    // the window key is xxhash64(window text), taken AT EXPLODE TIME: the
+    // two aggregations and the corpus-totals join below carry the key per
+    // exploded row, and an 8-byte long shuffles ~6× lighter than the
+    // ~50-byte k-token string. The profile is hash-invariant up to
+    // 64-bit collisions (a collision can only mark a genuinely-unique
+    // window as duplicated: ~n²/2⁶⁵ expected collisions corpus-wide —
+    // ~10⁻⁹ at sf0.01 where the oracle replays the profile over the raw
+    // strings and hash-matches, and still <1 in 10⁵ windows at 10¹⁰
+    // windows — the approximation regime MinHash/SimHash already accept).
     val wins = u.select(col("uid"), col("w"),
       explode(
         when(size(col("toks")) >= k, expr(
-          s"transform(sequence(1, size(toks) - ${k - 1}), i -> array_join(slice(toks, i, $k), ' '))"))
-          .otherwise(expr("CAST(array() AS array<string>)"))).as("win"))
+          s"transform(sequence(1, size(toks) - ${k - 1}), i -> xxhash64(array_join(slice(toks, i, $k), ' ')))"))
+          .otherwise(expr("CAST(array() AS array<bigint>)"))).as("win"))
     val perDocWin = wins.groupBy(col("uid"), col("w"), col("win"))
       .agg(count(lit(1)).as("c"))
     val totals = perDocWin.groupBy(col("win"))

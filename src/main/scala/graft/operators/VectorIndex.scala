@@ -370,6 +370,28 @@ object VectorIndex {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).parquet(deltaPath(path))
 
+  /** Whether the append delta already holds rows at generation `gen` —
+    * the idempotency receipt for streaming ingest: each micro-batch
+    * appends exactly ONE generation (gen = startGen + batchId), so
+    * gen-presence in the delta proves that batch's append committed, and
+    * a `foreachBatch` REPLAY (crash between the store append and the
+    * checkpoint commit) must skip rather than double-append the same
+    * chunk rows as live duplicates. One pushed-down `gen = ?` probe over
+    * the delta's parquet row-group stats (the delta is small by
+    * contract); a delta-less store answers false. The receipt is sound
+    * because an append is one task writing one file through the
+    * FileOutputCommitter — a crash mid-write leaves `_temporary`, never
+    * a visible partial generation ([[deltaFrame]] reads that state as an
+    * empty relation). */
+  def genExists(spark: SparkSession, path: String, gen: Long): Boolean =
+    hasDelta(spark, path) && !spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "gen", org.apache.spark.sql.types.LongType))))
+      .parquet(deltaPath(path))
+      .where(col("gen") === gen)
+      .isEmpty
+
   /** The store's full logical content: partitioned base + append delta. */
   private def storeVectors(spark: SparkSession, path: String): DataFrame = {
     val base = spark.read.parquet(s"$path/vectors")

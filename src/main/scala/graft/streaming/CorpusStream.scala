@@ -186,12 +186,36 @@ object CorpusStream {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val admitted = admitBatch(batch.sparkSession, sfDir, batch, minQuality)
-        if (!admitted.isEmpty)
-          graft.operators.TextStore.addTexts(
-            batch.sparkSession, storePath, admitted, startGen + batchId)
+        ingestBatch(batch.sparkSession, sfDir, storePath, batch,
+          startGen + batchId, minQuality)
       }
       .start()
+
+  /** One micro-batch of [[ingestPipeline]]: admit, then append the
+    * admitted remainder as generation `gen` — IDEMPOTENT per generation.
+    * foreachBatch replays a batchId after a crash between the store
+    * append and the checkpoint commit, and the store append is
+    * mode("append") — without the receipt check a replay would append
+    * the same chunk rows a second time at the same gen, leaving
+    * duplicate live vectors. gen-presence in the delta
+    * ([[graft.operators.VectorIndex.genExists]]) is a complete receipt
+    * because each micro-batch appends exactly one generation and an
+    * all-rejected batch appends nothing (replaying it re-admits nothing
+    * — still a no-op). The admitted frame is persisted across the
+    * emptiness probe and the append: admission (clean verdict +
+    * corpus-wide near-dup gate) is the expensive stage of every
+    * micro-batch, and unpersisted it would execute twice. Replay
+    * idempotency is pinned by CorpusStreamSpec. */
+  def ingestBatch(
+      spark: SparkSession, sfDir: String, storePath: String,
+      batch: DataFrame, gen: Long, minQuality: Double = 0.5): Unit =
+    if (!graft.operators.VectorIndex.genExists(spark, storePath, gen)) {
+      val admitted = admitBatch(spark, sfDir, batch, minQuality).persist()
+      try {
+        if (!admitted.isEmpty)
+          graft.operators.TextStore.addTexts(spark, storePath, admitted, gen)
+      } finally admitted.unpersist()
+    }
 
   val vecSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

@@ -180,6 +180,45 @@ class CorpusStreamSpec extends SparkSpec {
     assert(hit.getLong(0) == novel.head._1)
   }
 
+  test("ingest replay is idempotent: re-running a committed batchId appends nothing (r15)") {
+    import spark.implicits._
+    import graft.operators.{TextStore, VectorIndex}
+    // the crash window foreachBatch replays into: store append committed,
+    // checkpoint commit lost -> the SAME (batch, batchId) runs again
+    val novel = (0 until 3).map(i =>
+      (975000L + i, s"replay$i wholly novel payload kraken$i sable$i " +
+        s"a compact document about archipelago$i and tundra$i drift$i", "en"))
+    val batch = novel.toDF("doc_id", "text", "lang")
+    val store = Files.createTempDirectory("ingest_replay_store").toString
+    TextStore.writeChunkStore(spark, sfDir, store)
+
+    def deltaRows(): Seq[(Long, Long)] =
+      spark.read.parquet(s"$store/vectors_delta")
+        .select("vec_id", "gen").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    assert(!VectorIndex.genExists(spark, store, 7L)) // delta-less store
+    CorpusStream.ingestBatch(spark, sfDir, store, batch, gen = 7L)
+    val afterFirst = deltaRows()
+    assert(afterFirst.nonEmpty && afterFirst.forall(_._2 == 7L))
+    assert(VectorIndex.genExists(spark, store, 7L))
+    assert(!VectorIndex.genExists(spark, store, 8L))
+    // the replay: same batch, same gen — must be a byte-level no-op, not
+    // a second append of the same chunk rows at the same gen
+    CorpusStream.ingestBatch(spark, sfDir, store, batch, gen = 7L)
+    assert(deltaRows() == afterFirst,
+      "replayed micro-batch duplicated live vectors")
+    // an all-rejected batch appends nothing and stays replayable: every
+    // doc fails the quality gate, so no gen-8 receipt exists and both
+    // runs are no-ops (replay re-admits nothing)
+    val rejected = Seq((976100L, "zzz", "en"), (976101L, "q q q", "en"))
+      .toDF("doc_id", "text", "lang")
+    CorpusStream.ingestBatch(spark, sfDir, store, rejected, gen = 8L)
+    CorpusStream.ingestBatch(spark, sfDir, store, rejected, gen = 8L)
+    assert(!VectorIndex.genExists(spark, store, 8L))
+    assert(deltaRows() == afterFirst)
+  }
+
   test("streaming near-dup gate matches the batch gate, stateless, across micro-batches") {
     import spark.implicits._
     // incoming mix: exact copies of corpus documents under NEW ids (must
