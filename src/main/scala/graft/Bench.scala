@@ -40,7 +40,7 @@ object Bench {
     * round-over-round query ratios can be normalized by the calibration
     * ratio of the same windows (SURVEY §8: r12→r13 showed uniform ~1.45×
     * drift on provably-unchanged code that this block would have priced). */
-  private def calibrate(spark: SparkSession, sfDir: String): Map[String, Double] = {
+  private[graft] def calibrate(spark: SparkSession, sfDir: String): Map[String, Double] = {
     def time2(body: => Unit): Double = {
       def once(): Double = {
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9

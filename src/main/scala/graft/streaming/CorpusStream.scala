@@ -210,11 +210,16 @@ object CorpusStream {
       spark: SparkSession, sfDir: String, storePath: String,
       batch: DataFrame, gen: Long, minQuality: Double = 0.5): Unit =
     if (!graft.operators.VectorIndex.genExists(spark, storePath, gen)) {
-      val admitted = admitBatch(spark, sfDir, batch, minQuality).persist()
+      // cache the raw batch too: the admission plan references the
+      // incoming rows on several branches (clean verdict, gate sign-side,
+      // admit join), and uncached each branch re-reads the source files —
+      // IngestBench measured 4 source scans per trigger without this
+      val src = batch.persist()
+      val admitted = admitBatch(spark, sfDir, src, minQuality).persist()
       try {
         if (!admitted.isEmpty)
           graft.operators.TextStore.addTexts(spark, storePath, admitted, gen)
-      } finally admitted.unpersist()
+      } finally { admitted.unpersist(); src.unpersist() }
     }
 
   val vecSchema: StructType = StructType(Seq(
