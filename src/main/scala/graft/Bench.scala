@@ -39,7 +39,14 @@ object Bench {
     * drift mid-sweep — and both samples land in the artifact, so
     * round-over-round query ratios can be normalized by the calibration
     * ratio of the same windows (SURVEY §8: r12→r13 showed uniform ~1.45×
-    * drift on provably-unchanged code that this block would have priced). */
+    * drift on provably-unchanged code that this block would have priced).
+    *
+    * Reading note (r15): the POST `cpu_st` sample carries a systematic
+    * ~1.2-1.4× elevation in EVERY artifact regardless of sweep length or
+    * load — an end-of-JVM-life effect on the single-thread loop, not
+    * host drift. Read post-probe deltas against that baseline; only
+    * multiples beyond it (r14's tail collapse was 4.3×) indicate a real
+    * mid-sweep window change. `cpu_mt` does not show the bias. */
   private[graft] def calibrate(spark: SparkSession, sfDir: String): Map[String, Double] = {
     def time2(body: => Unit): Double = {
       def once(): Double = {
@@ -160,8 +167,17 @@ object Bench {
     // round-trip. SPARK_GRAFT_PASSES=1 stays available for deliberate
     // cold-cost studies only.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
-    for (pass_ <- 1 to passes; name <- names) {
-      if (pass_ == 2 && name == names.head) { System.gc(); Thread.sleep(1000) }
+    // even passes run in REVERSE order: min-of-2 in one JVM cannot remove
+    // a bias that correlates with sweep POSITION rather than with the
+    // query — the r15 sf100 sweep measured its alphabetical tail (the
+    // text_* family) 2-2.5× high in BOTH passes, at parity in a fresh
+    // JVM. Reversing the even pass samples every query at two different
+    // JVM ages, so position-correlated state (code-cache/GC/page-cache
+    // pressure late in a long sweep) can inflate at most one of the two
+    // samples the min keeps.
+    for (pass_ <- 1 to passes;
+         name <- if (pass_ % 2 == 0) names.reverse else names) {
+      if (pass_ == 2 && name == names.last) { System.gc(); Thread.sleep(1000) }
       sample(name)
     }
     // outlier-retry: a query whose min is far above the pack's median was

@@ -23,6 +23,10 @@ object LifecycleBench {
       out(name) = (System.nanoTime() - t0) / 1e9
       r
     }
+    // same window-calibration discipline as graft.Bench (r15): fixed
+    // probes before and after, so cross-round lifecycle ratios can be
+    // normalized by the window instead of argued
+    val calibPre = graft.Bench.calibrate(spark, sfDir)
     val qv = KnnSearch.queryVector(spark, sfDir, 0L)
     // micro-batches: 500 new ids per generation, embeddings reused from
     // the corpus so placement work is realistic. Deterministic id range
@@ -88,10 +92,15 @@ object LifecycleBench {
     timed("ivf_search_retrained")(
       noop(VectorIndex.searchStore(spark, ivfPath, qv, k = 10, nprobe = 4)))
 
+    val calibPost = graft.Bench.calibrate(spark, sfDir)
+    def fmtCal(m: Map[String, Double]): String =
+      m.toSeq.sorted.map { case (k, v) =>
+        String.format(java.util.Locale.ROOT, "\"%s\":%.4f", k, Double.box(v))
+      }.mkString("{", ",", "}")
     val phases = out.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = out.values.sum
-    println(s"""{"metric":"lifecycle","value":$total,"unit":"sec","phases":$phases,"sf":"$sfDir"}""")
+    println(s"""{"metric":"lifecycle","value":$total,"unit":"sec","phases":$phases,"calibration":{"pre":${fmtCal(calibPre)},"post":${fmtCal(calibPost)}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

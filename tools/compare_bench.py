@@ -49,6 +49,9 @@ def load_artifact(path):
         if not m:
             sys.exit(f"{path}: tail holds no bench JSON line")
         d = json.loads(m.group(0))
+    # lifecycle artifacts carry the same shape under "phases"
+    if "queries" not in d and "phases" in d:
+        d = dict(d, queries=d["phases"])
     if "queries" not in d:
         sys.exit(f"{path}: no 'queries' map")
     return d
