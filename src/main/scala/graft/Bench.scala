@@ -100,7 +100,7 @@ object Bench {
     * ~214B-row pair expansions. SPARK_GRAFT_UNFENCE stays the explicit
     * escape hatch for both "unfence a parseable sf" and "my directory
     * name carries no sf but I know it's small". */
-  private def sfOf(sfDir: String): Double = {
+  private[graft] def sfOf(sfDir: String): Double = {
     val m = "sf([0-9]*\\.?[0-9]+)".r.findFirstMatchIn(
       new java.io.File(sfDir).getName)
     require(m.isDefined || sys.env.contains("SPARK_GRAFT_UNFENCE"),

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the pair-mode fence's scale-factor parsing (ADVICE r14): the
+  * fence keys off the sf in the data directory's basename, and a dataset
+  * in a directory carrying NO parseable sf must FAIL FAST rather than
+  * parse as 0.0 — 0.0 ≤ 1 would silently unfence the output-bound pair
+  * expansions (dedup_simhash emitted ~214B rows at sf100). No Spark
+  * session needed; this is pure path parsing. */
+class BenchFenceSpec extends AnyFunSuite {
+
+  test("sfOf parses the sf out of standard testdata and replica paths") {
+    assert(Bench.sfOf("/root/testdata/sf0.001") == 0.001)
+    assert(Bench.sfOf("/root/testdata/sf0.1") == 0.1)
+    assert(Bench.sfOf("/tmp/sf100") == 100.0)
+    // fence boundary: sf1 is NOT fenced (> 1.0 is), sf10/sf100 are
+    assert(Bench.sfOf("/tmp/sf1") == 1.0)
+    assert(Bench.sfOf("/tmp/sf10") == 10.0)
+  }
+
+  test("an sf-less directory fails fast instead of unfencing pair modes") {
+    // this test environment does not set SPARK_GRAFT_UNFENCE (the escape
+    // hatch that makes an sf-less dir legal), so parsing must throw
+    assume(!sys.env.contains("SPARK_GRAFT_UNFENCE"))
+    val e = intercept[IllegalArgumentException](Bench.sfOf("/data/corpus"))
+    assert(e.getMessage.contains("SPARK_GRAFT_UNFENCE"))
+    intercept[IllegalArgumentException](Bench.sfOf("/data/prod_2026"))
+  }
+}
