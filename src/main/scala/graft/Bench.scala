@@ -110,6 +110,22 @@ object Bench {
     m.map(_.group(1).toDouble).getOrElse(0.0)
   }
 
+  /** The queries the pair-mode fence removes from this sweep. The sf
+    * fail-fast above fires only when a pair-mode query is actually a
+    * CANDIDATE (survives skip/only): a sweep restricted to non-pair
+    * queries needs no fence decision, so an sf-less data dir must not
+    * abort it (r16, ADVICE r15). An `only` naming a pair query is the
+    * explicit ask — never fenced. */
+  private[graft] def fencedQueries(
+      sfDir: String, base: Set[String], skip: Set[String],
+      only: Set[String]): Set[String] = {
+    val candidates = (base -- skip) intersect (pairModeFence -- only)
+    if (candidates.nonEmpty && !sys.env.contains("SPARK_GRAFT_UNFENCE")
+        && sfOf(sfDir) > 1.0)
+      candidates
+    else Set.empty[String]
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
@@ -130,10 +146,7 @@ object Bench {
     val base = if (only.nonEmpty) only else SparkEntry.queries.keySet
     // pair-mode fence: above sf1 the output-bound pair expansions are
     // skipped unless explicitly asked for (see pairModeFence doc)
-    val fenced =
-      if (sfOf(sfDir) > 1.0 && !sys.env.contains("SPARK_GRAFT_UNFENCE"))
-        pairModeFence -- only
-      else Set.empty[String]
+    val fenced = fencedQueries(sfDir, base, skip, only)
     val names = (base -- skip -- fenced).toSeq.sorted
     val times = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]

@@ -356,6 +356,21 @@ object VectorIndex {
   private def hasDelta(spark: SparkSession, path: String): Boolean =
     fs(spark).exists(new org.apache.hadoop.fs.Path(deltaPath(path)))
 
+  /** Drop a crashed append's leftover `_temporary` before writing a new
+    * one. The crash window this closes: FileOutputCommitter task commit
+    * succeeded, job commit didn't — the committed task dir persists under
+    * `_temporary/0` with NO visible gen, so the [[genExists]] receipt
+    * correctly says "replay", but the replay job's own commitJob would
+    * merge the stale committed task dir TOO, landing the generation's
+    * rows twice. Deleting `_temporary` first is sound because the store
+    * is single-writer by contract while a stream runs: any `_temporary`
+    * present at append start belongs to a dead job. */
+  private def dropStaleTemporary(spark: SparkSession, path: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"${deltaPath(path)}/_temporary")
+    val f = fs(spark)
+    if (f.exists(tmp)) f.delete(tmp, true)
+  }
+
   /** The delta as a frame with the BASE's schema. The explicit schema is
     * load-bearing twice: a column the delta lacks (e.g. `codes` written
     * before the PQ model existed) reads as null instead of failing the
@@ -370,27 +385,72 @@ object VectorIndex {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).parquet(deltaPath(path))
 
-  /** Whether the append delta already holds rows at generation `gen` —
-    * the idempotency receipt for streaming ingest: each micro-batch
-    * appends exactly ONE generation (gen = startGen + batchId), so
-    * gen-presence in the delta proves that batch's append committed, and
-    * a `foreachBatch` REPLAY (crash between the store append and the
-    * checkpoint commit) must skip rather than double-append the same
-    * chunk rows as live duplicates. One pushed-down `gen = ?` probe over
-    * the delta's parquet row-group stats (the delta is small by
-    * contract); a delta-less store answers false. The receipt is sound
-    * because an append is one task writing one file through the
-    * FileOutputCommitter — a crash mid-write leaves `_temporary`, never
-    * a visible partial generation ([[deltaFrame]] reads that state as an
-    * empty relation). */
+  /** Whether the append delta already holds APPEND rows at generation
+    * `gen` — the idempotency receipt for streaming ingest: each
+    * micro-batch appends exactly ONE generation (gen = startGen +
+    * batchId), so gen-presence in the delta proves that batch's append
+    * committed, and a `foreachBatch` REPLAY (crash between the store
+    * append and the checkpoint commit) must skip rather than
+    * double-append the same chunk rows as live duplicates. One
+    * pushed-down `gen = ?` probe over the delta's parquet row-group
+    * stats (the delta is small by contract); a delta-less store answers
+    * false. Tombstone rows (`deleted = true`, written by
+    * [[deleteFromStore]]/[[deleteFromLshStore]] at a caller-chosen gen
+    * into the same delta) are EXCLUDED from the receipt: a delete that
+    * happened to reuse a stream's gen value must not make the stream
+    * silently drop a batch that never committed. Gen collisions with
+    * OTHER append writers are the caller's responsibility — derive the
+    * stream's startGen from [[nextGen]] and keep the store single-writer
+    * while a stream runs (the receipt identifies a batch by its gen
+    * alone).
+    *
+    * Receipt soundness: an append is one task writing one file through
+    * the FileOutputCommitter, so a crash mid-write leaves only
+    * `_temporary`, never a visible partial generation ([[deltaFrame]]
+    * reads that state as an empty relation). Residual window: a crash
+    * BETWEEN task commit and job commit leaves a committed task dir
+    * under `_temporary` with no visible gen — the replay re-runs the
+    * append, and its job commit would also merge the stale task dir,
+    * duplicating the generation. [[appendAt]] closes it by deleting any
+    * stale `_temporary` before writing (sound under the same
+    * single-writer contract). */
   def genExists(spark: SparkSession, path: String, gen: Long): Boolean =
     hasDelta(spark, path) && !spark.read
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(
-          "gen", org.apache.spark.sql.types.LongType))))
+          "gen", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "deleted", org.apache.spark.sql.types.BooleanType))))
       .parquet(deltaPath(path))
-      .where(col("gen") === gen)
+      .where(col("gen") === gen &&
+        !coalesce(col("deleted"), lit(false)))
       .isEmpty
+
+  /** The first free generation of the store: max(gen) + 1 over base AND
+    * delta, tombstones included (a tombstone's gen is just as taken).
+    * This is where a streaming ingest derives its `startGen` — batchIds
+    * reset to 0 whenever a stream starts with a fresh checkpoint dir, so
+    * a constant startGen would collide with gens already written by a
+    * previous stream incarnation or by batch appends/deletes, and the
+    * collision makes the [[genExists]] receipt silently drop the new
+    * batch. One column-pruned max over the gen column (parquet footer
+    * stats make it a metadata-weight scan), paid once per stream start. */
+  def nextGen(spark: SparkSession, path: String): Long = {
+    val deltaMax =
+      if (hasDelta(spark, path))
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "gen", org.apache.spark.sql.types.LongType))))
+          .parquet(deltaPath(path))
+          .agg(max(col("gen"))).head().get(0)
+      else null
+    val baseMax = spark.read.parquet(s"$path/vectors")
+      .agg(max(col("gen"))).head().get(0)
+    val taken = Seq(deltaMax, baseMax)
+      .collect { case g: java.lang.Long => g.longValue() }
+    if (taken.isEmpty) 0L else taken.max + 1L
+  }
 
   /** The store's full logical content: partitioned base + append delta. */
   private def storeVectors(spark: SparkSession, path: String): DataFrame = {
@@ -640,6 +700,7 @@ object VectorIndex {
     // the two then costs one redundant resolution exchange, never a fast
     // path over a store that silently became multi-generation
     setSingleGen(spark, path, v = false)
+    dropStaleTemporary(spark, path)
     val withMeta =
       if (batch.columns.contains("metadata")) batch
       else batch.withColumn("metadata", lit(null).cast("string"))
@@ -688,6 +749,7 @@ object VectorIndex {
     // flag cleared before the write commits — same crash-safety order as
     // appendAt
     setSingleGen(spark, path, v = false)
+    dropStaleTemporary(spark, path)
     val existing = storeVectors(spark, path)
     val cols = Seq(col("vec_id"), col("label"), col("embedding"),
       col("metadata"), lit(true).as("deleted"), lit(gen).as("gen"),

@@ -171,25 +171,39 @@ object CorpusStream {
     * a streaming aggregate) and the store append is the transactional
     * CRUD surface. An all-rejected micro-batch appends nothing (no empty
     * generations). stream == batch composition is pinned by
-    * CorpusStreamSpec. */
+    * CorpusStreamSpec.
+    *
+    * `startGen` defaults to [[graft.streaming.StoreStream.AutoGen]]:
+    * resolved at stream start via [[graft.operators.VectorIndex.nextGen]]
+    * (max gen over base + delta, +1), because the gen-presence receipt
+    * identifies a batch by its gen alone — a fresh checkpoint dir resets
+    * batchIds to 0, and a constant startGen colliding with gens already
+    * written (previous stream incarnation, batch appends, tombstone
+    * deletes) would make the receipt silently drop new batches. The
+    * store must stay single-writer while the stream runs. */
   def ingestPipeline(
       spark: SparkSession,
       sfDir: String,
       streamDir: String,
       storePath: String,
-      startGen: Long,
       checkpointDir: String,
+      startGen: Long = graft.streaming.StoreStream.AutoGen,
       minQuality: Double = 0.5,
-      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val base =
+      if (startGen == graft.streaming.StoreStream.AutoGen)
+        graft.operators.VectorIndex.nextGen(spark, storePath)
+      else startGen
     fileSource(spark, streamDir,
       graft.streaming.StoreStream.textSchema, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch.sparkSession, sfDir, storePath, batch,
-          startGen + batchId, minQuality)
+          base + batchId, minQuality)
       }
       .start()
+  }
 
   /** One micro-batch of [[ingestPipeline]]: admit, then append the
     * admitted remainder as generation `gen` — IDEMPOTENT per generation.

@@ -14,9 +14,24 @@ import org.apache.spark.sql.types._
   * sink would write a `_spark_metadata` log that SHADOWS the store's
   * batch-written base files for any batch reader of the same directory;
   * routing the micro-batch through the batch upsert keeps one write path,
-  * one layout, and exactly-once-per-generation semantics (the batch id is
-  * the generation offset, so a replayed micro-batch overwrites itself
-  * idempotently at read time via the max-gen resolution). */
+  * one layout, and exactly-once-per-generation semantics.
+  *
+  * CRASH IDEMPOTENCY (shared with [[CorpusStream.ingestBatch]]):
+  * foreachBatch replays a batchId after a crash between the store append
+  * and the checkpoint commit, and the store append is `mode("append")` —
+  * without a receipt a replay double-appends the same physical rows at
+  * the same gen. Every path below therefore probes
+  * [[VectorIndex.genExists]] (gen-presence of APPEND rows in the delta)
+  * before appending, making a replayed micro-batch a byte-level no-op.
+  * The receipt identifies a batch by its gen alone, so the gen namespace
+  * must be collision-free: `startGen` defaults to
+  * [[VectorIndex.nextGen]] (max gen over base + delta, +1) resolved at
+  * stream start — a fresh checkpoint dir resets batchIds to 0, and a
+  * constant startGen would collide with gens a previous stream
+  * incarnation or batch appends/deletes already wrote, silently dropping
+  * the new batches. The store must stay single-writer while a stream
+  * runs. Replay idempotency on both layouts and the texts path is pinned
+  * by StoreStreamReplaySpec. */
 object StoreStream {
 
   val vecSchema: StructType = StructType(Seq(
@@ -24,17 +39,53 @@ object StoreStream {
     StructField("label", IntegerType),
     StructField("embedding", ArrayType(FloatType))))
 
+  /** Sentinel: resolve startGen from the store at stream start. */
+  final val AutoGen: Long = Long.MinValue
+
+  private def resolveStartGen(
+      spark: SparkSession, storePath: String, startGen: Long): Long =
+    if (startGen == AutoGen) VectorIndex.nextGen(spark, storePath)
+    else startGen
+
+  /** One micro-batch of vector ingest, idempotent per generation — the
+    * foreachBatch body, extracted so the replay spec can drive the exact
+    * crash-window path. The batch is persisted across the emptiness
+    * probe and the append (foreachBatch sources re-scan per action
+    * otherwise); an empty batch appends nothing and stays replayable. */
+  private[graft] def ingestVecBatch(
+      spark: SparkSession, storePath: String, batch: DataFrame, gen: Long,
+      append: (SparkSession, DataFrame, Long) => Unit): Unit =
+    if (!VectorIndex.genExists(spark, storePath, gen)) {
+      val src = batch.persist()
+      try { if (!src.isEmpty) append(spark, src, gen) }
+      finally src.unpersist()
+    }
+
+  /** Texts twin of [[ingestVecBatch]] — same receipt, append through
+    * [[graft.operators.TextStore.addTexts]] (chunk + featurize + upsert). */
+  private[graft] def ingestTextBatch(
+      spark: SparkSession, storePath: String, batch: DataFrame,
+      gen: Long): Unit =
+    if (!VectorIndex.genExists(spark, storePath, gen)) {
+      val src = batch.persist()
+      try {
+        if (!src.isEmpty)
+          graft.operators.TextStore.addTexts(spark, storePath, src, gen)
+      } finally src.unpersist()
+    }
+
   /** `checkpointDir` is required for the idempotence claim above: without
     * a durable checkpoint a restarted stream re-lists the source from
-    * scratch with batch ids reset to 0, re-appending old data at fresh
-    * generations. */
+    * scratch, re-ingesting old data (the receipt only dedups gens the
+    * SAME incarnation wrote — with AutoGen a fresh incarnation starts
+    * above them). */
   def ingest(
       spark: SparkSession,
       dir: String,
       storePath: String,
-      startGen: Long,
-      checkpointDir: String): StreamingQuery =
-    ingestWith(spark, dir, startGen, checkpointDir,
+      checkpointDir: String,
+      startGen: Long = AutoGen): StreamingQuery =
+    ingestWith(spark, dir, storePath, startGen, checkpointDir,
       VectorIndex.appendStore(_, storePath, _, _))
 
   /** Same live `add_texts` path into the bucket-partitioned LSH store —
@@ -44,9 +95,9 @@ object StoreStream {
       spark: SparkSession,
       dir: String,
       storePath: String,
-      startGen: Long,
-      checkpointDir: String): StreamingQuery =
-    ingestWith(spark, dir, startGen, checkpointDir,
+      checkpointDir: String,
+      startGen: Long = AutoGen): StreamingQuery =
+    ingestWith(spark, dir, storePath, startGen, checkpointDir,
       VectorIndex.appendLshStore(_, storePath, _, _))
 
   val textSchema: StructType = StructType(Seq(
@@ -65,32 +116,37 @@ object StoreStream {
       spark: SparkSession,
       dir: String,
       storePath: String,
-      startGen: Long,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      startGen: Long = AutoGen): StreamingQuery = {
+    val base = resolveStartGen(spark, storePath, startGen)
     spark.readStream
       .schema(textSchema)
       .json(dir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.TextStore.addTexts(
-          batch.sparkSession, storePath, batch, startGen + batchId)
+        ingestTextBatch(batch.sparkSession, storePath, batch, base + batchId)
       }
       .start()
+  }
 
   private def ingestWith(
       spark: SparkSession,
       dir: String,
+      storePath: String,
       startGen: Long,
       checkpointDir: String,
-      append: (SparkSession, DataFrame, Long) => Unit): StreamingQuery =
+      append: (SparkSession, DataFrame, Long) => Unit): StreamingQuery = {
+    val base = resolveStartGen(spark, storePath, startGen)
     spark.readStream
       .schema(vecSchema)
       .json(dir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        append(batch.sparkSession, batch, startGen + batchId)
+        ingestVecBatch(batch.sparkSession, storePath, batch,
+          base + batchId, append)
       }
       .start()
+  }
 }

@@ -27,4 +27,28 @@ class BenchFenceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SPARK_GRAFT_UNFENCE"))
     intercept[IllegalArgumentException](Bench.sfOf("/data/prod_2026"))
   }
+
+  test("the fence decision only needs an sf when a pair query is a candidate (r16)") {
+    assume(!sys.env.contains("SPARK_GRAFT_UNFENCE"))
+    val pair = Set("dedup_simhash", "dedup_embedding")
+    val others = Set("q1_agg", "text_tokens")
+    // a sweep restricted to non-pair queries runs fine on an sf-less dir
+    assert(Bench.fencedQueries("/data/corpus", others, Set.empty, others)
+      .isEmpty)
+    // skip removing every pair query also needs no sf
+    assert(Bench.fencedQueries("/data/corpus", others ++ pair, pair,
+      Set.empty).isEmpty)
+    // a pair candidate on an sf-less dir still fails fast
+    intercept[IllegalArgumentException](
+      Bench.fencedQueries("/data/corpus", others ++ pair, Set.empty,
+        Set.empty))
+    // parseable dirs: fence above sf1, not at or below it
+    assert(Bench.fencedQueries("/tmp/sf100", others ++ pair, Set.empty,
+      Set.empty) == pair)
+    assert(Bench.fencedQueries("/tmp/sf1", others ++ pair, Set.empty,
+      Set.empty).isEmpty)
+    // an explicit only naming a pair query is never fenced
+    assert(Bench.fencedQueries("/tmp/sf100", pair, Set.empty,
+      Set("dedup_simhash")) == Set("dedup_embedding"))
+  }
 }
