@@ -25,16 +25,19 @@ object Bench {
   private def runOnce(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  /** Window-calibration probe: three fixed, never-changing micro-tasks
+  /** Window-calibration probe: four fixed, never-changing micro-tasks
     * whose cost depends only on the host window (clock speed, CPU steal,
-    * IO path), never on engine code under test:
+    * IO path, page-cache state), never on engine code under test:
     *   - `cpu_st`: a single-thread SplitMix64 mixing loop — raw
     *     one-core speed and steal;
     *   - `cpu_mt`: the same mix as a hash-aggregate over `spark.range`
     *     across all cores — aggregate thread throughput;
+    *   - `io`: raw strided reads over the sweep's largest tables —
+    *     page-cache/IO state (single pass by design; see below);
     *   - `scan`: full lineitem parquet scan + sum — decode/IO at the
     *     sweep's own SF.
-    * Each probe samples twice, min kept (same discipline as queries).
+    * CPU/scan probes sample twice, min kept (same discipline as
+    * queries); `io` is one pass (a second would measure the warm path).
     * The probe runs BEFORE and AFTER the sweep — a multi-hour window can
     * drift mid-sweep — and both samples land in the artifact, so
     * round-over-round query ratios can be normalized by the calibration
@@ -75,12 +78,59 @@ object Bench {
       spark.range(0L, 4000000000L, 1L, spark.sparkContext.defaultParallelism)
         .agg(bit_xor(xxhash64(org.apache.spark.sql.functions.col("id")))).collect()
     }
+    // `io`: page-cache/IO-state probe (r16, VERDICT r15 item 2) — raw
+    // strided reads over the sweep's own largest tables (lineitem,
+    // documents, embeddings), no Spark, no decode. Deliberately a SINGLE
+    // pass, not min-of-2: the first read of a byte range is what senses
+    // whether those pages are resident; a second pass would always
+    // measure the warm path and the probe would price nothing. The
+    // residual sf100 cross-sweep swings (q1_agg 6.3↔22.6 s between the
+    // two r15 sweeps) are exactly the state this reads: pre≈post and
+    // both small → tables resident, wall-clock deltas are engine or CPU
+    // window; pre large → the sweep started cold and first-touch
+    // queries paid real IO the cpu probes can't see. Fixed stride (1 MiB
+    // every 32 MiB, ≤96 MiB per table) keeps the probe itself from
+    // flushing or fully warming the cache it measures. Ordered BEFORE the
+    // `scan` probe, which reads all of lineitem and would warm exactly
+    // the ranges this one senses.
+    val io = {
+      val buf = new Array[Byte](1 << 20)
+      def strided(f: java.io.File): Unit = {
+        val ch = java.nio.channels.FileChannel.open(
+          f.toPath, java.nio.file.StandardOpenOption.READ)
+        try {
+          var pos = 0L
+          var read = 0L
+          while (pos < ch.size() && read < (96L << 20)) {
+            val bb = java.nio.ByteBuffer.wrap(buf)
+            var n = 0
+            while (n >= 0 && bb.hasRemaining && pos + bb.position() < ch.size())
+              n = ch.read(bb, pos + bb.position())
+            read += bb.position()
+            pos += (32L << 20)
+          }
+        } finally ch.close()
+      }
+      val t0 = System.nanoTime()
+      for (t <- Seq("lineitem.parquet", "documents.parquet",
+          "embeddings.parquet")) {
+        val root = new java.io.File(s"$sfDir/$t")
+        val files =
+          if (root.isDirectory)
+            root.listFiles().filter(_.getName.endsWith(".parquet"))
+              .sortBy(_.getName)
+          else if (root.isFile) Array(root)
+          else Array.empty[java.io.File]
+        files.foreach(strided)
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
     val scan = time2 {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .agg(sum(col("l_extendedprice")), count(lit(1))).collect()
     }
-    Map("cpu_st" -> cpuSt, "cpu_mt" -> cpuMt, "scan" -> scan)
+    Map("cpu_st" -> cpuSt, "cpu_mt" -> cpuMt, "scan" -> scan, "io" -> io)
   }
 
   /** Queries whose OUTPUT is the doc-level pair expansion — correct by

@@ -14,11 +14,16 @@ all-core hash-agg, scan lineitem scan+sum) sampled before AND after the
 sweep, so a window's speed is measured, not assumed.
 
 Method:
-  - window factor per artifact = geometric mean of the three probes,
+  - window factor per artifact = geometric mean of the cpu/scan probes
+    VALID IN BOTH artifacts (r16: a probe missing on one side is dropped
+    from both, with a warning — mixing probe sets mixes absolute scales),
     taking min(pre, post) per probe (min-of-2, the same discipline the
     query samples use). `scan` is excluded when the two artifacts ran at
     different SFs (the probe scans the sweep's own lineitem, so its cost
-    is not comparable across SFs).
+    is not comparable across SFs). The r16 `io` probe is excluded from
+    the factor (it prices page-cache STATE, not host speed) and reported
+    as a separate diagnostic; outliers whose direction matches a
+    cold-started sweep are annotated `io-state?`.
   - raw ratio      = new_sec / old_sec  per query
   - norm ratio     = raw ratio / (new_window / old_window)
   - outliers: |log(norm ratio)| > log(threshold) (default 1.25×), with
@@ -57,21 +62,51 @@ def load_artifact(path):
     return d
 
 
-def window_factor(art, use_scan):
+def probe_min(art, p):
+    """min(pre, post) of probe p in this artifact, or None if absent."""
     cal = art.get("calibration")
     if not cal:
         return None
-    probes = ["cpu_st", "cpu_mt"] + (["scan"] if use_scan else [])
-    vals = []
-    for p in probes:
-        pre = cal.get("pre", {}).get(p)
-        post = cal.get("post", {}).get(p)
-        xs = [x for x in (pre, post) if isinstance(x, (int, float)) and x > 0]
-        if xs:
-            vals.append(min(xs))
+    pre = cal.get("pre", {}).get(p)
+    post = cal.get("post", {}).get(p)
+    xs = [x for x in (pre, post) if isinstance(x, (int, float)) and x > 0]
+    return min(xs) if xs else None
+
+
+def shared_probes(old, new, use_scan):
+    """The probe set valid in BOTH artifacts (ADVICE r15: averaging
+    different probe sets per artifact silently skews the ratio — the two
+    factors would mix absolute scales). `io` is excluded from the window
+    factor by design: it measures page-cache STATE, not host speed, and
+    is reported separately. Returns (used, dropped)."""
+    want = ["cpu_st", "cpu_mt"] + (["scan"] if use_scan else [])
+    used = [p for p in want
+            if probe_min(old, p) is not None and probe_min(new, p) is not None]
+    dropped = [p for p in want if p not in used]
+    return used, dropped
+
+
+def window_factor(art, probes):
+    vals = [probe_min(art, p) for p in probes]
+    vals = [v for v in vals if v is not None]
     if not vals:
         return None
     return math.exp(sum(math.log(v) for v in vals) / len(vals))
+
+
+def io_state(art):
+    """(pre, post) of the io probe, or None — the page-cache diagnostic:
+    pre >> post means the artifact's sweep STARTED cold and first-touch
+    queries paid real IO that the cpu/scan probes can't price."""
+    cal = art.get("calibration")
+    if not cal:
+        return None
+    pre = cal.get("pre", {}).get("io")
+    post = cal.get("post", {}).get("io")
+    if isinstance(pre, (int, float)) and isinstance(post, (int, float)) \
+            and pre > 0 and post > 0:
+        return pre, post
+    return None
 
 
 def sf_of(art):
@@ -91,15 +126,43 @@ def main():
 
     old, new = load_artifact(args.old), load_artifact(args.new)
     same_sf = sf_of(old) is not None and sf_of(old) == sf_of(new)
-    w_old = window_factor(old, use_scan=same_sf)
-    w_new = window_factor(new, use_scan=same_sf)
+    probes, dropped = shared_probes(old, new, use_scan=same_sf)
+    w_old = window_factor(old, probes)
+    w_new = window_factor(new, probes)
     if w_old and w_new:
         w_ratio = w_new / w_old
-        note = ("calibration window ratio new/old = %.3f (probes: cpu_st, "
-                "cpu_mt%s)" % (w_ratio, ", scan" if same_sf else ""))
+        note = ("calibration window ratio new/old = %.3f (probes: %s)"
+                % (w_ratio, ", ".join(probes)))
+        if dropped:
+            note += ("\nWARNING: probe(s) %s missing in at least one "
+                     "artifact — dropped from BOTH window factors"
+                     % ", ".join(dropped))
     else:
         w_ratio = 1.0
         note = "WARNING: calibration block missing in at least one artifact; norm == raw"
+
+    # IO-state diagnostic (r16): not part of the window factor — it
+    # prices cache STATE, not host speed. A sweep whose io pre is a
+    # multiple of its post started cold; its early/first-touch queries
+    # carry unpriced IO, which mechanically explains same-direction
+    # outliers without any engine change.
+    io_old, io_new = io_state(old), io_state(new)
+    cold_side = None  # +1: new ran colder, -1: old ran colder
+    if io_old and io_new:
+        cold_o = io_old[0] / io_old[1]
+        cold_n = io_new[0] / io_new[1]
+        note += ("\nio-state old pre/post = %.2f/%.2f s (cold-factor %.1f)"
+                 ", new = %.2f/%.2f s (cold-factor %.1f)"
+                 % (io_old[0], io_old[1], cold_o,
+                    io_new[0], io_new[1], cold_n))
+        if cold_n > 2.0 and cold_n > 2 * cold_o:
+            cold_side = 1
+            note += "\n  -> NEW sweep started cold; slow-in-new outliers may be IO-state"
+        elif cold_o > 2.0 and cold_o > 2 * cold_n:
+            cold_side = -1
+            note += "\n  -> OLD sweep started cold; fast-in-new 'wins' may be IO-state"
+    elif io_old or io_new:
+        note += "\nio-state probe present in only one artifact (pre-r16 bench?)"
 
     qo, qn = old["queries"], new["queries"]
     common = sorted(set(qo) & set(qn))
@@ -112,9 +175,14 @@ def main():
         norm = raw / w_ratio
         flag = (abs(math.log(norm)) > math.log(args.threshold)
                 and max(a, b) >= args.floor)
+        # an outlier whose direction matches the colder sweep gets the
+        # mechanical annotation: its delta is consistent with page-cache
+        # state, not engine change
+        io_suspect = bool(flag and cold_side is not None
+                          and (norm > 1.0) == (cold_side == 1))
         rows.append({"query": q, "old_sec": a, "new_sec": b,
                      "raw_ratio": round(raw, 3), "norm_ratio": round(norm, 3),
-                     "outlier": flag})
+                     "outlier": flag, "io_suspect": io_suspect})
     if not rows:
         sys.exit("no common queries")
 
@@ -134,9 +202,12 @@ def main():
     print("| query | old s | new s | raw | norm | flag |")
     print("|---|---|---|---|---|---|")
     for r in sorted(rows, key=lambda r: -r["norm_ratio"]):
+        flag = "OUTLIER" if r["outlier"] else ""
+        if r.get("io_suspect"):
+            flag += " (io-state?)"
         print("| %s | %.2f | %.2f | %.3f | %.3f | %s |" % (
             r["query"], r["old_sec"], r["new_sec"], r["raw_ratio"],
-            r["norm_ratio"], "OUTLIER" if r["outlier"] else ""))
+            r["norm_ratio"], flag))
     print()
     if outliers:
         print("outliers (norm ratio beyond %.2fx, >= %.1fs): %s" % (
