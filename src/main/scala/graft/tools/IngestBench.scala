@@ -132,9 +132,10 @@ object IngestBench {
       m.toSeq.sorted.map { case (k, v) =>
         String.format(Locale.ROOT, "\"%s\":%.4f", k, Double.box(v))
       }.mkString("{", ",", "}")
-    val batchesJson = progress.entrySet().toArray
+    val batchSecs = progress.entrySet().toArray
       .map(_.asInstanceOf[java.util.Map.Entry[Long, (Double, Long)]])
       .sortBy(_.getKey)
+    val batchesJson = batchSecs
       .map(e => String.format(Locale.ROOT,
         "{\"batch\":%d,\"sec\":%.3f,\"rows\":%d}",
         Long.box(e.getKey), Double.box(e.getValue._1), Long.box(e.getValue._2)))
@@ -142,15 +143,42 @@ object IngestBench {
     val gensJson = genRows
       .map { case (g, n) => s"""{"gen":$g,"rows":$n}""" }
       .mkString("[", ",", "]")
+    // ---- flatness invariant (r16, VERDICT r15 item 4): per-batch cost
+    // must track batch size, not store size or batch count. The first
+    // recorded batch is warmup by contract (it pays the one-time corpus
+    // band-table materialization); every later batch must stay within
+    // FLAT_FACTOR x the median of the post-warmup batches, or the run
+    // FAILS — a regression in gate or append scaling surfaces in the
+    // artifact itself instead of needing an eyeball over the curve. ----
+    val flatFactor = sys.env
+      .getOrElse("SPARK_GRAFT_INGEST_FLAT_FACTOR", "1.5").toDouble
+    val steady = batchSecs.drop(1).map(e => e.getKey -> e.getValue._1)
+    val violations =
+      if (steady.length < 3) Array.empty[(Long, Double)] // too few to judge
+      else {
+        val med = steady.map(_._2).sorted.apply(steady.length / 2)
+        steady.filter(_._2 > flatFactor * med)
+      }
+    val violationsJson = violations
+      .map { case (b, s) => String.format(Locale.ROOT,
+        "{\"batch\":%d,\"sec\":%.3f}", Long.box(b), Double.box(s)) }
+      .mkString("[", ",", "]")
     val line = String.format(Locale.ROOT,
-      """{"metric":"ingest_pipeline","value":%.3f,"unit":"sec","sf":"%s","seed":"%s","n_batches":%d,"batch_rows":%d,"stage_sec":%.2f,"seed_sec":%.2f,"batches":%s,"gens":%s,"calibration":{"pre":%s,"post":%s}}""",
+      """{"metric":"ingest_pipeline","value":%.3f,"unit":"sec","sf":"%s","seed":"%s","n_batches":%d,"batch_rows":%d,"stage_sec":%.2f,"seed_sec":%.2f,"failed":%b,"flat_factor":%.2f,"flat_violations":%s,"batches":%s,"gens":%s,"calibration":{"pre":%s,"post":%s}}""",
       Double.box(runSec), sfDir, seedDir, Int.box(nBatches),
       Int.box(batchRows), Double.box(stageSec), Double.box(seedSec),
-      batchesJson, gensJson, fmtCal(calibPre), fmtCal(calibPost))
+      Boolean.box(violations.nonEmpty), Double.box(flatFactor),
+      violationsJson, batchesJson, gensJson,
+      fmtCal(calibPre), fmtCal(calibPost))
     println(line)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_last.json"),
       line.getBytes("UTF-8"))
     spark.stop()
+    if (violations.nonEmpty) {
+      System.err.println(s"INGEST FLATNESS VIOLATION: ${violations.length} " +
+        s"post-warmup batch(es) beyond ${flatFactor}x the steady median")
+      sys.exit(1)
+    }
   }
 }
