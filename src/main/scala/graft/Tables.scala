@@ -9,8 +9,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * viable at 100 TB: a kNN query reads only (id, embedding[, filter cols]).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Opt-in storage-aligned layout redirect (r16, VERDICT r15 item 3):
+    * when the session conf `spark.graft.bucketed.db` names a catalog
+    * database, any table registered there SHADOWS its parquet file —
+    * tables not registered fall through unchanged. The intended use is
+    * fact tables written `bucketBy(N, joinKey).sortBy(joinKey)` once
+    * (lineitem/orders on the order key): every fact-to-fact join and
+    * orderkey-keyed aggregate over them then consumes the layout with NO
+    * exchange on the bucketed key, which at 100 TB converts the
+    * engine's largest shuffles into storage-aligned local work.
+    * Unset (the default everywhere), this is a pure parquet read and
+    * Catalyst owns pushdown exactly as before. graft.tools.LayoutBench
+    * builds the replica and A/Bs the join family both ways. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val redirected = spark.conf.getOption("spark.graft.bucketed.db")
+      .filter(_.nonEmpty)
+      .filter(db => spark.catalog.tableExists(s"$db.$name"))
+      .map(db => spark.table(s"$db.$name"))
+    redirected.getOrElse(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
