@@ -200,6 +200,14 @@ object Bench {
     val names = (base -- skip -- fenced).toSeq.sorted
     val times = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
+    // SPARK_GRAFT_EMIT_SAMPLES=1 records EVERY sample, not just the min —
+    // the input of the noise-floor study (tools/noise_floor.py): a
+    // many-pass sweep's per-query spread is the measured scheduler/window
+    // noise at that SF, which compare_bench's flagging floor should come
+    // from rather than a hardcoded 0.5 s
+    val emitSamples = sys.env.get("SPARK_GRAFT_EMIT_SAMPLES").contains("1")
+    val samples =
+      scala.collection.mutable.Map.empty[String, List[Double]]
 
     def sample(name: String): Unit = {
       // isolate samples: a query that persists intermediate state (e.g.
@@ -211,6 +219,7 @@ object Bench {
         runOnce(SparkEntry.queries(name)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+        if (emitSamples) samples(name) = samples.getOrElse(name, Nil) :+ dt
         failed -= name // a success anywhere outranks a transient failure
       } catch {
         case e: Throwable =>
@@ -283,8 +292,16 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + s4(v) }.mkString("{", ",", "}")
       s"""{"pre":${block(calibPre)},"post":${block(calibPost)}}"""
     }
+    val samplesJson =
+      if (!emitSamples) ""
+      else {
+        val body = names.filter(samples.contains).map(n =>
+          "\"" + n + "\":" + samples(n).map(s4).mkString("[", ",", "]"))
+          .mkString("{", ",", "}")
+        s""","samples":$body"""
+      }
     val line =
-      s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson,"calibration":$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson$samplesJson,"calibration":$calibJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces copy for log-capture truncation: the same line, as
     // a file next to the run

@@ -119,10 +119,26 @@ def main():
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.25)
-    ap.add_argument("--floor", type=float, default=0.5,
+    ap.add_argument("--floor", type=float, default=None,
                     help="seconds; queries under this in BOTH artifacts never flag")
+    ap.add_argument("--floor-file", dest="floor_file",
+                    default="bench/noise_floor_sf01.json",
+                    help="noise_floor.py artifact whose floor_sec replaces "
+                         "the default when --floor is not given")
     ap.add_argument("--json", dest="json_out")
     args = ap.parse_args()
+
+    # flagging floor: explicit --floor wins; otherwise the measured floor
+    # from noise_floor.py's artifact (r16: derived from a 10-pass sf0.1
+    # sweep's per-query spread); 0.5 s only as the last-resort legacy value
+    floor_src = "--floor"
+    if args.floor is None:
+        try:
+            args.floor = float(json.load(open(args.floor_file))["floor_sec"])
+            floor_src = args.floor_file
+        except (OSError, ValueError, KeyError):
+            args.floor = 0.5
+            floor_src = "legacy default (no floor file)"
 
     old, new = load_artifact(args.old), load_artifact(args.new)
     same_sf = sf_of(old) is not None and sf_of(old) == sf_of(new)
@@ -210,12 +226,13 @@ def main():
             r["norm_ratio"], flag))
     print()
     if outliers:
-        print("outliers (norm ratio beyond %.2fx, >= %.1fs): %s" % (
-            args.threshold, args.floor,
+        print("outliers (norm ratio beyond %.2fx, >= %.2fs floor from %s): %s" % (
+            args.threshold, args.floor, floor_src,
             ", ".join(f"{r['query']} {r['norm_ratio']}" for r in
                       sorted(outliers, key=lambda r: -r["norm_ratio"]))))
     else:
-        print(f"no outliers beyond {args.threshold}x")
+        print(f"no outliers beyond {args.threshold}x "
+              f"(floor {args.floor:.2f}s from {floor_src})")
 
     if args.json_out:
         json.dump({"window_ratio": w_ratio, "median_norm_ratio": median,
