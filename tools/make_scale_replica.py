@@ -19,7 +19,10 @@ scan stage (featurize, simhash, quality) onto 2 cores while 30 idle,
 which measures the fixture, not the engine. Spark reads the directory
 transparently; dimension tables stay single-file.
 
-Usage: python3 tools/make_scale_replica.py SRC_DIR DST_DIR [N=10]
+Usage: python3 tools/make_scale_replica.py SRC_DIR DST_DIR [N=10] [TABLES]
+TABLES (optional, comma-separated) restricts the run to those tables, so
+a large-N build can run one process per fact table in parallel (the
+copies are independent; DuckDB serializes them inside one process).
 """
 import os
 import shutil
@@ -32,6 +35,7 @@ import pyarrow.parquet as pq
 
 src, dst = sys.argv[1], sys.argv[2]
 n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 OFF = 10_000_000
 SLICES = 4  # files per copy; n*SLICES total, sized for ~32 local cores
 
@@ -92,6 +96,8 @@ def replicate_events(sp, dp):
 
 
 for t, ks in KEYS.items():
+    if only is not None and t not in only:
+        continue
     sp, dp = f"{src}/{t}.parquet", f"{dst}/{t}.parquet"
     if not os.path.exists(sp):
         continue
