@@ -51,4 +51,30 @@ class BenchFenceSpec extends AnyFunSuite {
     assert(Bench.fencedQueries("/tmp/sf100", pair, Set.empty,
       Set("dedup_simhash")) == Set("dedup_embedding"))
   }
+
+  test("refTimes parses a Bench artifact line; rejects shapes without queries") {
+    val f = java.nio.file.Files.createTempFile("graft_ref_", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","value":9.9,"unit":"sec",""" +
+        """"queries":{"q1_agg":5.4577,"q3_join":29.21},"sf":"/tmp/sf100"}""")
+    assert(Bench.refTimes(f.toString) ==
+      Map("q1_agg" -> 5.4577, "q3_join" -> 29.21))
+    val bad = java.nio.file.Files.createTempFile("graft_ref_bad_", ".json")
+    java.nio.file.Files.writeString(bad, """{"metric":"total","value":1.0}""")
+    val e = intercept[IllegalArgumentException](Bench.refTimes(bad.toString))
+    assert(e.getMessage.contains("queries"))
+  }
+
+  test("refRetryCandidates: swing hits retry, stable heavy tail and sub-floor noise don't") {
+    val ref = Map("q1_agg" -> 6.0, "q5_join" -> 90.0, "store_get" -> 0.3)
+    val measured = Map(
+      "q1_agg" -> 31.0, // 5× its own reference — the swing-hit shape
+      "q5_join" -> 95.0, // heavy but stable round-over-round: no retry
+      "store_get" -> 1.9, // 6× reference but under the noise floor
+      "knn_graph" -> 50.0) // no reference entry: nothing to compare
+    assert(Bench.refRetryCandidates(measured, ref, 2.0, 2.0) == Seq("q1_agg"))
+    // the factor is a real knob: at 4× the q1_agg hit still trips, at 6× not
+    assert(Bench.refRetryCandidates(measured, ref, 4.0, 2.0) == Seq("q1_agg"))
+    assert(Bench.refRetryCandidates(measured, ref, 6.0, 2.0).isEmpty)
+  }
 }

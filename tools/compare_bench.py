@@ -196,9 +196,16 @@ def main():
         # state, not engine change
         io_suspect = bool(flag and cold_side is not None
                           and (norm > 1.0) == (cold_side == 1))
+        # ref-retried (r16): the NEW sweep already re-sampled this query
+        # twice against its reference artifact and the reading held — a
+        # slow-in-new outlier here is a twice-reconfirmed in-window cost,
+        # not a single-sample swing hit
+        ref_retried = bool(flag and norm > 1.0
+                           and q in new.get("ref_retried", []))
         rows.append({"query": q, "old_sec": a, "new_sec": b,
                      "raw_ratio": round(raw, 3), "norm_ratio": round(norm, 3),
-                     "outlier": flag, "io_suspect": io_suspect})
+                     "outlier": flag, "io_suspect": io_suspect,
+                     "ref_retried": ref_retried})
     if not rows:
         sys.exit("no common queries")
 
@@ -221,6 +228,8 @@ def main():
         flag = "OUTLIER" if r["outlier"] else ""
         if r.get("io_suspect"):
             flag += " (io-state?)"
+        if r.get("ref_retried"):
+            flag += " (ref-retried)"
         print("| %s | %.2f | %.2f | %.3f | %.3f | %s |" % (
             r["query"], r["old_sec"], r["new_sec"], r["raw_ratio"],
             r["norm_ratio"], flag))
