@@ -95,13 +95,18 @@ object Bench {
     // the ranges this one senses.
     val io = {
       val buf = new Array[Byte](1 << 20)
-      def strided(f: java.io.File): Unit = {
+      // the 96 MiB cap is per TABLE, shared across its part files — a
+      // multi-file replica table (4000 parts at sf100) must not multiply
+      // the probe's footprint by its file count (a per-file cap read
+      // ~GiBs there: slow, and warming far more cache than a passive
+      // state sensor may)
+      def strided(f: java.io.File, readSoFar: Long, cap: Long): Long = {
         val ch = java.nio.channels.FileChannel.open(
           f.toPath, java.nio.file.StandardOpenOption.READ)
         try {
           var pos = 0L
-          var read = 0L
-          while (pos < ch.size() && read < (96L << 20)) {
+          var read = readSoFar
+          while (pos < ch.size() && read < cap) {
             val bb = java.nio.ByteBuffer.wrap(buf)
             var n = 0
             while (n >= 0 && bb.hasRemaining && pos + bb.position() < ch.size())
@@ -109,6 +114,7 @@ object Bench {
             read += bb.position()
             pos += (32L << 20)
           }
+          read
         } finally ch.close()
       }
       val t0 = System.nanoTime()
@@ -121,7 +127,10 @@ object Bench {
               .sortBy(_.getName)
           else if (root.isFile) Array(root)
           else Array.empty[java.io.File]
-        files.foreach(strided)
+        var read = 0L
+        val cap = 96L << 20
+        val it = files.iterator
+        while (it.hasNext && read < cap) read = strided(it.next(), read, cap)
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -243,6 +252,14 @@ object Bench {
     val emitSamples = sys.env.get("SPARK_GRAFT_EMIT_SAMPLES").contains("1")
     val samples =
       scala.collection.mutable.Map.empty[String, List[Double]]
+    // resolve the ref-retry reference BEFORE the sweep: a typo'd path or
+    // a driver-wrapped artifact must fail in the first seconds, not
+    // after a multi-hour sweep has run and before its line is printed
+    val refConfig = sys.env.get("SPARK_GRAFT_REF").map { refPath =>
+      (refTimes(refPath),
+        sys.env.getOrElse("SPARK_GRAFT_REF_FACTOR", "2.0").toDouble,
+        sys.env.getOrElse("SPARK_GRAFT_REF_FLOOR", "2.0").toDouble)
+    }
 
     def sample(name: String): Unit = {
       // isolate samples: a query that persists intermediate state (e.g.
@@ -311,12 +328,10 @@ object Bench {
     // at large SF because the genuine heavy tail sits 5×+ over the
     // median — that tail is round-over-round STABLE, so it never trips
     // the reference test).
-    val refRetried = sys.env.get("SPARK_GRAFT_REF").map { refPath =>
-      val factor = sys.env.getOrElse("SPARK_GRAFT_REF_FACTOR", "2.0").toDouble
-      val floor = sys.env.getOrElse("SPARK_GRAFT_REF_FLOOR", "2.0").toDouble
+    val refRetried = refConfig.map { case (ref, factor, floor) =>
       val cands = refRetryCandidates(
         names.filterNot(failed).map(n => n -> times(n)).toMap,
-        refTimes(refPath), factor, floor)
+        ref, factor, floor)
       for (n <- cands) { sample(n); sample(n) }
       cands
     }.getOrElse(Seq.empty)

@@ -174,13 +174,15 @@ object CorpusStream {
     * CorpusStreamSpec.
     *
     * `startGen` defaults to [[graft.streaming.StoreStream.AutoGen]]:
-    * resolved at stream start via [[graft.operators.VectorIndex.nextGen]]
-    * (max gen over base + delta, +1), because the gen-presence receipt
-    * identifies a batch by its gen alone — a fresh checkpoint dir resets
-    * batchIds to 0, and a constant startGen colliding with gens already
-    * written (previous stream incarnation, batch appends, tombstone
-    * deletes) would make the receipt silently drop new batches. The
-    * store must stay single-writer while the stream runs. */
+    * resolved ONCE per checkpoint lifetime via
+    * [[graft.streaming.StoreStream.durableStartGen]] (first start:
+    * nextGen over base + delta, recorded in the checkpoint dir;
+    * restarts: the recorded value), because the gen-presence receipt
+    * identifies a batch by its gen alone — gen-of-batchId must neither
+    * collide with gens already written (previous incarnations, batch
+    * CRUD) nor SHIFT across a restart (a re-derived base would map a
+    * crash-window replay to a fresh gen and double-append). The store
+    * must stay single-writer while the stream runs. */
   def ingestPipeline(
       spark: SparkSession,
       sfDir: String,
@@ -190,10 +192,8 @@ object CorpusStream {
       startGen: Long = graft.streaming.StoreStream.AutoGen,
       minQuality: Double = 0.5,
       maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
-    val base =
-      if (startGen == graft.streaming.StoreStream.AutoGen)
-        graft.operators.VectorIndex.nextGen(spark, storePath)
-      else startGen
+    val base = graft.streaming.StoreStream.durableStartGen(
+      spark, storePath, checkpointDir, startGen)
     fileSource(spark, streamDir,
       graft.streaming.StoreStream.textSchema, maxFilesPerTrigger)
       .writeStream

@@ -42,10 +42,53 @@ object StoreStream {
   /** Sentinel: resolve startGen from the store at stream start. */
   final val AutoGen: Long = Long.MinValue
 
-  private def resolveStartGen(
-      spark: SparkSession, storePath: String, startGen: Long): Long =
-    if (startGen == AutoGen) VectorIndex.nextGen(spark, storePath)
-    else startGen
+  /** The stream's base generation, DURABLY: gen-of-batchId is
+    * `base + batchId`, and the replay receipt ([[VectorIndex.genExists]])
+    * identifies a batch by its gen alone — so `base` must be stable
+    * across restarts of the same checkpoint. Re-deriving nextGen on
+    * restart would be unsound in exactly the window the receipt closes:
+    * a crash AFTER an append commits but BEFORE the checkpoint commit
+    * leaves that orphaned gen in the delta, a re-derived nextGen starts
+    * above it, the replayed batchId maps to a FRESH gen, the receipt
+    * sees nothing there, and the rows double-append. So the resolution
+    * runs once per checkpoint lifetime: first start resolves (AutoGen →
+    * nextGen over base+delta; an explicit startGen → as given) and
+    * records the base under `<checkpointDir>/graft_base_gen`
+    * (write-temp + atomic rename); every restart reads the recorded
+    * value — an explicit startGen differing from the marker is ignored
+    * in favor of the marker, because changing the mapping mid-checkpoint
+    * is precisely the unsound thing. A wiped checkpoint dir loses the
+    * marker and the batchId sequence TOGETHER, which is the documented
+    * re-ingest-from-scratch semantics (and a fresh nextGen then lands
+    * above every committed gen — no collision). Crash windows around the
+    * marker itself are safe: it is written at stream start, before any
+    * batch runs, and a re-resolution after a crash-before-rename sees an
+    * unchanged store. */
+  private[graft] def durableStartGen(
+      spark: SparkSession, storePath: String, checkpointDir: String,
+      startGen: Long): Long = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, "graft_base_gen")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else {
+      val base =
+        if (startGen == AutoGen) VectorIndex.nextGen(spark, storePath)
+        else startGen
+      fs.mkdirs(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir, "graft_base_gen.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, marker))
+        throw new java.io.IOException(
+          s"could not commit base-gen marker $marker (concurrent stream " +
+            "start against the same checkpoint?)")
+      base
+    }
+  }
 
   /** One micro-batch of vector ingest, idempotent per generation — the
     * foreachBatch body, extracted so the replay spec can drive the exact
@@ -118,7 +161,7 @@ object StoreStream {
       storePath: String,
       checkpointDir: String,
       startGen: Long = AutoGen): StreamingQuery = {
-    val base = resolveStartGen(spark, storePath, startGen)
+    val base = durableStartGen(spark, storePath, checkpointDir, startGen)
     spark.readStream
       .schema(textSchema)
       .json(dir)
@@ -137,7 +180,7 @@ object StoreStream {
       startGen: Long,
       checkpointDir: String,
       append: (SparkSession, DataFrame, Long) => Unit): StreamingQuery = {
-    val base = resolveStartGen(spark, storePath, startGen)
+    val base = durableStartGen(spark, storePath, checkpointDir, startGen)
     spark.readStream
       .schema(vecSchema)
       .json(dir)

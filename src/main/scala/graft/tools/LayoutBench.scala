@@ -71,7 +71,12 @@ object LayoutBench {
     def exchanges(name: String, arm: String): Int = withArm(arm) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect()
-      "Exchange ".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      // SHUFFLE exchanges only: `\b` keeps BroadcastExchange and
+      // ReusedExchange out of the count (a bucketed arm that converts a
+      // shuffle join to broadcast would otherwise show no delta), and
+      // the partitioning keyword pins the match to the shuffle forms
+      """\bExchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobin)""".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
     }
     val planCounts = names.map { n =>
       spark.catalog.clearCache()

@@ -119,4 +119,38 @@ class StoreStreamReplaySpec extends SparkSpec {
     val gens = deltaRows(store).map(_._2).distinct.sorted
     assert(gens == Seq(1L, 2L))
   }
+
+  test("durableStartGen is stable across restarts of the same checkpoint") {
+    val store = Files.createTempDirectory("replay_basegen").toString
+    val ckpt = Files.createTempDirectory("replay_basegen_ck").toString
+    VectorIndex.writeStore(spark, sfDir, store)
+    // first start: AutoGen resolves from the store and records the base
+    val base = StoreStream.durableStartGen(
+      spark, store, ckpt, StoreStream.AutoGen)
+    assert(base == VectorIndex.nextGen(spark, store))
+    // the restart-unsoundness scenario the marker exists for: batch 1's
+    // append COMMITS (gen base+1 lands in the delta) but the checkpoint
+    // commit is lost; the process restarts and re-resolves. A re-derived
+    // nextGen would now start ABOVE the orphaned gen, mapping the
+    // replayed batchId 1 to a fresh gen — the receipt would see nothing
+    // there and the rows would double-append.
+    StoreStream.ingestVecBatch(spark, store, vecBatch(4800000L),
+      gen = base + 1, VectorIndex.appendStore(_, store, _, _))
+    val afterCrashWindow = deltaRows(store)
+    val base2 = StoreStream.durableStartGen(
+      spark, store, ckpt, StoreStream.AutoGen)
+    assert(base2 == base,
+      "restart re-derived the base gen — crash-window replays would " +
+        "double-append at a fresh gen")
+    // and the replayed batchId 1 is a byte-level no-op under that base
+    StoreStream.ingestVecBatch(spark, store, vecBatch(4800000L),
+      gen = base2 + 1, VectorIndex.appendStore(_, store, _, _))
+    assert(deltaRows(store) == afterCrashWindow)
+    // an explicit startGen cannot shift an existing checkpoint's mapping
+    assert(StoreStream.durableStartGen(spark, store, ckpt, 77L) == base)
+    // a FRESH checkpoint resolves fresh (above the orphaned gen)
+    val ckpt2 = Files.createTempDirectory("replay_basegen_ck2").toString
+    assert(StoreStream.durableStartGen(
+      spark, store, ckpt2, StoreStream.AutoGen) == base + 2)
+  }
 }
