@@ -196,10 +196,53 @@ object Bench {
       throw new IllegalArgumentException(
         s"$path: no 'queries' map — SPARK_GRAFT_REF needs a plain Bench " +
           "artifact line (bench/r{N}_*.json), not a driver-wrapped one"))
+    // a malformed 'queries' must fail as loudly as a missing one (r17,
+    // ADVICE r16): a non-object yields an empty fields() iterator and
+    // non-numeric values coerce to 0.0 via asDouble() — both silently
+    // disable or mis-arm the ref-retry this guard exists to protect
+    if (!qn.isObject)
+      throw new IllegalArgumentException(
+        s"$path: 'queries' is not an object (${qn.getNodeType}) — " +
+          "SPARK_GRAFT_REF needs a plain Bench artifact line")
     val it = qn.fields()
     val b = Map.newBuilder[String, Double]
-    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getValue.isNumber)
+        throw new IllegalArgumentException(
+          s"$path: queries.${e.getKey} is not a number " +
+            s"(${e.getValue.getNodeType}) — a coerced 0.0 would make every " +
+            "measurement look like a >2x regression and retry the sweep")
+      b += e.getKey -> e.getValue.asDouble()
+    }
     b.result()
+  }
+
+  /** JVM aging counters (r17, VERDICT r16 item 4): cumulative GC time/
+    * count, JIT compilation time, and code-cache occupancy. Sampled
+    * around every query sample (a handful of MXBean reads — microseconds
+    * against multi-second queries) so that when a query TRIPS a retry,
+    * the artifact carries the JIT/GC state of the slow sample itself —
+    * the in-JVM-aging swing class (q1_agg 31 s in-sweep vs 5.5 s
+    * fresh-JVM, r16) has been detected and discarded mechanically for
+    * two rounds but never NAMED; a trip whose slow sample shows a
+    * near-full code cache or a multi-second GC delta is named. */
+  private def jvmCounters(): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    val comp = Option(ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+    val cc = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+    Map(
+      "gc_ms" -> gc.map(_.getCollectionTime.toDouble).sum,
+      "gc_n" -> gc.map(_.getCollectionCount.toDouble).sum,
+      "jit_ms" -> comp.map(_.getTotalCompilationTime.toDouble).getOrElse(-1.0),
+      "codecache_used_mb" ->
+        cc.map(_.getUsage.getUsed.toDouble).sum / (1 << 20),
+      "codecache_max_mb" ->
+        cc.map(p => math.max(p.getUsage.getMax, 0L).toDouble).sum / (1 << 20))
   }
 
   /** Queries whose measured min sits far above the same query's time in
@@ -219,6 +262,24 @@ object Bench {
     measured.collect {
       case (n, t) if t >= floor && ref.get(n).exists(r => t > factor * r) => n
     }.toSeq.sorted
+
+  /** The ref-retry flagging floor, resolved per SF (r17, VERDICT r16
+    * item 6): explicit SPARK_GRAFT_REF_FLOOR wins; otherwise the
+    * measured noise-floor artifact for THIS sweep's scale
+    * (`bench/noise_floor_<tag>.json`, tag = the data dir basename with
+    * dots stripped — sf0.1→sf01, sf100→sf100 — written by
+    * tools/noise_floor.py); otherwise the sf0.1-measured 2.0 s, which
+    * under-floors larger SFs (sf100's sub-10 s band swings wider) but
+    * only costs extra re-samples, never a missed real regression. */
+  private[graft] def refFloor(sfDir: String): Double =
+    sys.env.get("SPARK_GRAFT_REF_FLOOR").map(_.toDouble).getOrElse {
+      val tag = new java.io.File(sfDir).getName.replace(".", "")
+      val f = new java.io.File(s"bench/noise_floor_$tag.json")
+      if (!f.isFile) 2.0
+      else Option(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(f).get("floor_sec"))
+        .filter(_.isNumber).map(_.asDouble()).getOrElse(2.0)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -258,18 +319,57 @@ object Bench {
     val refConfig = sys.env.get("SPARK_GRAFT_REF").map { refPath =>
       (refTimes(refPath),
         sys.env.getOrElse("SPARK_GRAFT_REF_FACTOR", "2.0").toDouble,
-        sys.env.getOrElse("SPARK_GRAFT_REF_FLOOR", "2.0").toDouble)
+        refFloor(sfDir))
     }
+
+    // full-sweep bucketed-layout arm (r17, VERDICT r16 item 5):
+    // SPARK_GRAFT_BUCKETED_BUCKETS=N builds the lineitem/orders
+    // `bucketBy(N, orderkey).sortBy(orderkey)` replica (timed — the
+    // layout's one-time price, reported but excluded from the sweep
+    // total) and arms the Tables redirect for the WHOLE sweep, so the
+    // join family's isolated A/B win is re-priced under full-sweep page
+    // cache and AQE context, and every non-join query double-checks as
+    // unaffected (unregistered tables fall through byte-identically).
+    val bucketed = sys.env.get("SPARK_GRAFT_BUCKETED_BUCKETS").map { bStr =>
+      val buckets = bStr.toInt
+      val db = "graft_bench_bucketed"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      val t0 = System.nanoTime()
+      for ((t, key) <- Seq("lineitem" -> "l_orderkey",
+          "orders" -> "o_orderkey")) {
+        spark.sql(s"DROP TABLE IF EXISTS $db.$t")
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.bucketBy(buckets, key).sortBy(key)
+          .mode("overwrite").saveAsTable(s"$db.$t")
+      }
+      spark.conf.set("spark.graft.bucketed.db", db)
+      (buckets, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // per-sample JVM aging record, keyed (query -> samples in order):
+    // emitted for retried queries only (the trips are where diagnosis
+    // matters; all-query emission would double the line length the
+    // artifacts already had to defend against)
+    val jvmTrips =
+      scala.collection.mutable.Map.empty[String, List[Map[String, Double]]]
 
     def sample(name: String): Unit = {
       // isolate samples: a query that persists intermediate state (e.g.
       // minhash signatures) must not hand later passes a cache hit that
       // understates its steady-state cost
       spark.catalog.clearCache()
+      val j0 = jvmCounters()
       val t0 = System.nanoTime()
       try {
         runOnce(SparkEntry.queries(name)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
+        val j1 = jvmCounters()
+        jvmTrips(name) = jvmTrips.getOrElse(name, Nil) :+ Map(
+          "sec" -> dt,
+          "gc_ms" -> (j1("gc_ms") - j0("gc_ms")),
+          "gc_n" -> (j1("gc_n") - j0("gc_n")),
+          "jit_ms" -> (j1("jit_ms") - j0("jit_ms")),
+          "codecache_used_mb" -> j1("codecache_used_mb"))
         times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
         if (emitSamples) samples(name) = samples.getOrElse(name, Nil) :+ dt
         failed -= name // a success anywhere outranks a transient failure
@@ -310,12 +410,14 @@ object Bench {
     // tail (output-bound dedup pairs, the real-decode seam) is genuinely
     // minutes above the median and a retry only re-runs a real cost.
     val ok = names.filterNot(failed)
-    if (ok.size >= 4 && !sys.env.contains("SPARK_GRAFT_NO_RETRY")) {
-      val sorted = ok.map(times).sorted
-      val median = sorted(sorted.size / 2)
-      val outliers = ok.filter(n => times(n) > math.max(5 * median, 5.0))
-      for (n <- outliers) { sample(n); sample(n) }
-    }
+    val medianRetried =
+      if (ok.size >= 4 && !sys.env.contains("SPARK_GRAFT_NO_RETRY")) {
+        val sorted = ok.map(times).sorted
+        val median = sorted(sorted.size / 2)
+        val outliers = ok.filter(n => times(n) > math.max(5 * median, 5.0))
+        for (n <- outliers) { sample(n); sample(n) }
+        outliers
+      } else Seq.empty[String]
 
     // reference-guided retry (r16): SPARK_GRAFT_REF names a previous
     // round's artifact at the SAME sf; any query whose min exceeds
@@ -375,8 +477,27 @@ object Bench {
       if (refRetried.isEmpty) ""
       else refRetried.map("\"" + _ + "\"")
         .mkString(""","ref_retried":[""", ",", "]")
+    // the aging diagnosis (r17): for every query that tripped a retry,
+    // ALL its samples with their GC/JIT/code-cache deltas — the slow
+    // sample's counters name (or rule out) the in-JVM aging mechanism
+    val tripNames = (medianRetried ++ refRetried).distinct.sorted
+      .filter(jvmTrips.contains)
+    val jvmTripsJson =
+      if (tripNames.isEmpty) ""
+      else {
+        def rec(m: Map[String, Double]) = m.toSeq.sorted
+          .map { case (k, v) => "\"" + k + "\":" + s4(v) }
+          .mkString("{", ",", "}")
+        val body = tripNames.map(n =>
+          "\"" + n + "\":" + jvmTrips(n).map(rec).mkString("[", ",", "]"))
+          .mkString("{", ",", "}")
+        s""","jvm_trips":$body"""
+      }
+    val bucketedJson = bucketed.map { case (buckets, buildSec) =>
+      s""","bucketed":{"buckets":$buckets,"build_sec":${s4(buildSec)}}"""
+    }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson$samplesJson$refRetriedJson,"calibration":$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson$samplesJson$refRetriedJson$jvmTripsJson$bucketedJson,"calibration":$calibJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces copy for log-capture truncation: the same line, as
     // a file next to the run

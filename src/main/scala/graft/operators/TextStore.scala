@@ -286,6 +286,14 @@ object TextStore {
       spark: SparkSession, path: String, texts: DataFrame, gen: Long): Unit =
     VectorIndex.appendStore(spark, path, chunkVectors(texts), gen)
 
+  /** [[addTexts]] under a caller-supplied writer-lease owner — the
+    * streaming ingest path appends under the STREAM's store lease
+    * (reentrant by owner) instead of competing with it per batch. */
+  private[graft] def addTextsAs(
+      spark: SparkSession, path: String, texts: DataFrame, gen: Long,
+      owner: String): Unit =
+    VectorIndex.appendStoreAs(spark, path, chunkVectors(texts), gen, owner)
+
   /** LSH-layout twin of [[addTexts]] — same transform, same delta
     * contract, bucket-partitioned store. */
   def addTextsLsh(

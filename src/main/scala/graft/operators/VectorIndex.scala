@@ -338,6 +338,100 @@ object VectorIndex {
   private[graft] def isSingleGen(spark: SparkSession, path: String): Boolean =
     fs(spark).exists(singleGenPath(path))
 
+  // ---- single-writer lease (r17, VERDICT r16 item 2) ------------------
+  // The gen-presence receipt ([[genExists]]) and the stale-_temporary
+  // cleanup ([[dropStaleTemporary]]) are sound only while the store has
+  // ONE writer — previously a doc-comment contract. The lease makes it
+  // self-enforcing: every mutating entry point (append/delete/compact/
+  // recover) takes `_writer_lease` under the store root for the call;
+  // a streaming ingest takes it for the stream's lifetime (owner =
+  // "stream:<checkpointDir>", released on query termination). A second
+  // writer fails fast with the holder named instead of silently
+  // corrupting gen accounting. Acquisition is reentrant BY OWNER: the
+  // stream's own foreachBatch appends run under the stream's lease
+  // (same owner → proceed, and the inner release is a no-op), while a
+  // concurrent batch writer (fresh owner per call) is rejected. A
+  // crashed holder leaves the lease behind — deliberate (the crash may
+  // have left a half-committed append only the SAME stream's replay may
+  // touch): restarting the same stream re-acquires reentrantly; an
+  // operator who knows the holder is dead clears it with
+  // [[breakWriterLease]]. The error message carries the holder line
+  // (owner, pid, timestamp) so that judgment call is informed.
+  private def leasePath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_writer_lease")
+
+  private def readLeaseLine(
+      spark: SparkSession, path: String): Option[String] = {
+    val f = fs(spark)
+    val lp = leasePath(path)
+    try {
+      if (!f.exists(lp)) None
+      else {
+        val in = f.open(lp)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None } // racing release
+  }
+
+  private[graft] def newWriterOwner(kind: String): String =
+    s"$kind:pid=${ProcessHandle.current().pid()}:" +
+      java.util.UUID.randomUUID().toString
+
+  /** Acquire the store's writer lease for `owner`. Returns true if THIS
+    * call created the lease (the caller must release it), false if
+    * `owner` already holds it (reentrant — the caller must NOT release,
+    * the outer holder will). Throws if a different owner holds it.
+    * Atomicity: `fs.create(overwrite = false)` — unlike rename, which
+    * silently replaces an existing destination on a POSIX local fs. */
+  private[graft] def acquireWriterLease(
+      spark: SparkSession, path: String, owner: String): Boolean = {
+    val f = fs(spark)
+    val lp = leasePath(path)
+    def rejected(holder: String): Nothing = throw new IllegalStateException(
+      s"store $path is locked by another writer [$holder] — the store is " +
+        "single-writer (a concurrent append would corrupt generation " +
+        "accounting); wait for the holder, or if it crashed, clear the " +
+        "lease with VectorIndex.breakWriterLease")
+    try {
+      val out = f.create(lp, false) // atomic create-or-fail
+      try out.write(
+        s"$owner ts=${java.time.Instant.now()}".getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.nio.file.FileAlreadyExistsException =>
+        val held = readLeaseLine(spark, path).getOrElse("unreadable lease")
+        if (held == owner || held.startsWith(owner + " ")) false
+        else rejected(held)
+    }
+  }
+
+  /** Release the lease if (and only if) `owner` holds it — idempotent,
+    * and a lease broken and re-taken by someone else is never deleted
+    * by the old holder. */
+  private[graft] def releaseWriterLease(
+      spark: SparkSession, path: String, owner: String): Unit = {
+    val held = readLeaseLine(spark, path)
+    if (held.exists(h => h == owner || h.startsWith(owner + " ")))
+      fs(spark).delete(leasePath(path), false): Unit
+  }
+
+  /** Operator escape hatch: clear a lease whose holder is known dead (a
+    * crashed stream or batch writer leaves its lease behind by design —
+    * see the lease doc above). The holder line (owner, pid, timestamp)
+    * is in the rejection message this call un-bricks. */
+  def breakWriterLease(spark: SparkSession, path: String): Unit =
+    fs(spark).delete(leasePath(path), false): Unit
+
+  private def withWriterLease[A](
+      spark: SparkSession, path: String, owner: String)(body: => A): A = {
+    val mine = acquireWriterLease(spark, path, owner)
+    try body
+    finally if (mine) releaseWriterLease(spark, path, owner)
+  }
+
   // ---- append delta (LSM shape) --------------------------------------
   // Appends and tombstones land in ONE unpartitioned side directory —
   // one file per micro-batch — instead of fanning out into the
@@ -725,15 +819,33 @@ object VectorIndex {
   }
 
   /** Incremental upsert into the IVF store. `batch` must have columns
-    * (vec_id, label, embedding) and optionally metadata. */
+    * (vec_id, label, embedding) and optionally metadata. Takes the
+    * writer lease for the call. */
   def appendStore(
       spark: SparkSession, path: String, batch: DataFrame, gen: Long): Unit =
-    appendAt(spark, path, IvfLayout, batch, gen)
+    appendStoreAs(spark, path, batch, gen, newWriterOwner("append"))
+
+  /** [[appendStore]] under a caller-supplied lease owner — the streaming
+    * ingest path, whose appends run reentrantly under the STREAM's
+    * lease rather than competing with it. */
+  private[graft] def appendStoreAs(
+      spark: SparkSession, path: String, batch: DataFrame, gen: Long,
+      owner: String): Unit =
+    withWriterLease(spark, path, owner) {
+      appendAt(spark, path, IvfLayout, batch, gen)
+    }
 
   /** Incremental upsert into the LSH store — same contract. */
   def appendLshStore(
       spark: SparkSession, path: String, batch: DataFrame, gen: Long): Unit =
-    appendAt(spark, path, LshLayout, batch, gen)
+    appendLshStoreAs(spark, path, batch, gen, newWriterOwner("append"))
+
+  private[graft] def appendLshStoreAs(
+      spark: SparkSession, path: String, batch: DataFrame, gen: Long,
+      owner: String): Unit =
+    withWriterLease(spark, path, owner) {
+      appendAt(spark, path, LshLayout, batch, gen)
+    }
 
   /** Shared tombstone delete (the reference store's `delete(ids)`
     * surface): each physical copy of a deleted id gets a `deleted = true`
@@ -765,11 +877,15 @@ object VectorIndex {
 
   def deleteFromStore(
       spark: SparkSession, path: String, ids: Seq[Long], gen: Long): Unit =
-    deleteAt(spark, path, IvfLayout, ids, gen)
+    withWriterLease(spark, path, newWriterOwner("delete")) {
+      deleteAt(spark, path, IvfLayout, ids, gen)
+    }
 
   def deleteFromLshStore(
       spark: SparkSession, path: String, ids: Seq[Long], gen: Long): Unit =
-    deleteAt(spark, path, LshLayout, ids, gen)
+    withWriterLease(spark, path, newWriterOwner("delete")) {
+      deleteAt(spark, path, LshLayout, ids, gen)
+    }
 
   /** The generation fold shared by compaction: latest version of every id,
     * tombstoned ids dropped. One shuffle keyed by vec_id (the same work a
@@ -798,8 +914,14 @@ object VectorIndex {
     * `centroids_retrain` and swapped only with the matching vectors
     * layout) so new geometry never serves the old partition layout. */
   def compactStore(
-      spark: SparkSession, path: String, retrain: Boolean = false): Unit = {
-    recoverStore(spark, path) // clear any debris from an interrupted swap
+      spark: SparkSession, path: String, retrain: Boolean = false): Unit =
+    withWriterLease(spark, path, newWriterOwner("compact")) {
+      compactBody(spark, path, retrain)
+    }
+
+  private def compactBody(
+      spark: SparkSession, path: String, retrain: Boolean): Unit = {
+    recoverBody(spark, path) // clear any debris from an interrupted swap
     val live = liveRows(spark, path, IvfLayout)
     if (retrain) {
       // the resolved frame feeds both the trainer and the rewrite: cache
@@ -820,12 +942,13 @@ object VectorIndex {
   /** Compaction for the LSH store: fold generations, re-assign updated
     * embeddings to their current sign bucket, keep the plane matrix (the
     * hyperplanes are data-independent, so there is nothing to retrain). */
-  def compactLshStore(spark: SparkSession, path: String): Unit = {
-    recoverStore(spark, path)
-    val live = liveRows(spark, path, LshLayout)
-    rewriteAndSwap(spark, path, LshLayout, live,
-      readModel(spark, path, LshLayout), stagedModel = false)
-  }
+  def compactLshStore(spark: SparkSession, path: String): Unit =
+    withWriterLease(spark, path, newWriterOwner("compact")) {
+      recoverBody(spark, path)
+      val live = liveRows(spark, path, LshLayout)
+      rewriteAndSwap(spark, path, LshLayout, live,
+        readModel(spark, path, LshLayout), stagedModel = false)
+    }
 
   /** The compaction rewrite + crash-safe swap (VERDICT r3 item 5): the old
     * layout is renamed aside (`vectors_old`), never deleted before the new
@@ -904,7 +1027,12 @@ object VectorIndex {
     * generation resolution those mutations require. Leaving the flag as
     * found is always safe (off merely costs one resolution exchange;
     * the next clean compaction restores it). */
-  def recoverStore(spark: SparkSession, path: String): Unit = {
+  def recoverStore(spark: SparkSession, path: String): Unit =
+    withWriterLease(spark, path, newWriterOwner("recover")) {
+      recoverBody(spark, path)
+    }
+
+  private def recoverBody(spark: SparkSession, path: String): Unit = {
     val f = fs(spark)
     def P(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
     def ex(s: String) = f.exists(P(s))

@@ -194,15 +194,31 @@ object CorpusStream {
       maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val base = graft.streaming.StoreStream.durableStartGen(
       spark, storePath, checkpointDir, startGen)
-    fileSource(spark, streamDir,
-      graft.streaming.StoreStream.textSchema, maxFilesPerTrigger)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch.sparkSession, sfDir, storePath, batch,
-          base + batchId, minQuality)
+    // single-writer lease for the stream's lifetime (r17) — same
+    // enforcement as StoreStream: a concurrent batch writer against the
+    // ingesting store fails fast instead of corrupting gen accounting
+    val owner = graft.streaming.StoreStream.streamOwner(checkpointDir)
+    graft.operators.VectorIndex.acquireWriterLease(spark, storePath, owner)
+    val query =
+      try {
+        fileSource(spark, streamDir,
+          graft.streaming.StoreStream.textSchema, maxFilesPerTrigger)
+          .writeStream
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            ingestBatch(batch.sparkSession, sfDir, storePath, batch,
+              base + batchId, minQuality, owner)
+          }
+          .start()
+      } catch {
+        case t: Throwable =>
+          graft.operators.VectorIndex.releaseWriterLease(
+            spark, storePath, owner)
+          throw t
       }
-      .start()
+    graft.streaming.StoreStream.releaseOnTermination(
+      spark, storePath, owner, query)
+    query
   }
 
   /** One micro-batch of [[ingestPipeline]]: admit, then append the
@@ -222,7 +238,9 @@ object CorpusStream {
     * idempotency is pinned by CorpusStreamSpec. */
   def ingestBatch(
       spark: SparkSession, sfDir: String, storePath: String,
-      batch: DataFrame, gen: Long, minQuality: Double = 0.5): Unit =
+      batch: DataFrame, gen: Long, minQuality: Double = 0.5,
+      owner: String =
+        graft.operators.VectorIndex.newWriterOwner("append")): Unit =
     if (!graft.operators.VectorIndex.genExists(spark, storePath, gen)) {
       // cache the raw batch too: the admission plan references the
       // incoming rows on several branches (clean verdict, gate sign-side,
@@ -232,7 +250,8 @@ object CorpusStream {
       val admitted = admitBatch(spark, sfDir, src, minQuality).persist()
       try {
         if (!admitted.isEmpty)
-          graft.operators.TextStore.addTexts(spark, storePath, admitted, gen)
+          graft.operators.TextStore.addTextsAs(
+            spark, storePath, admitted, gen, owner)
       } finally { admitted.unpersist(); src.unpersist() }
     }
 

@@ -24,14 +24,19 @@ import org.apache.spark.sql.types._
   * [[VectorIndex.genExists]] (gen-presence of APPEND rows in the delta)
   * before appending, making a replayed micro-batch a byte-level no-op.
   * The receipt identifies a batch by its gen alone, so the gen namespace
-  * must be collision-free: `startGen` defaults to
-  * [[VectorIndex.nextGen]] (max gen over base + delta, +1) resolved at
-  * stream start — a fresh checkpoint dir resets batchIds to 0, and a
-  * constant startGen would collide with gens a previous stream
-  * incarnation or batch appends/deletes already wrote, silently dropping
-  * the new batches. The store must stay single-writer while a stream
-  * runs. Replay idempotency on both layouts and the texts path is pinned
-  * by StoreStreamReplaySpec. */
+  * must be collision-free AND stable: gen-of-batchId is `base + batchId`
+  * with `base` resolved ONCE PER CHECKPOINT LIFETIME by
+  * [[durableStartGen]] (first start: [[VectorIndex.nextGen]] for
+  * AutoGen, or the explicit startGen; recorded under
+  * `<checkpointDir>/graft_base_gen`; every restart reads the recorded
+  * value) — a re-derived base on restart would shift the mapping across
+  * exactly the crash window the receipt closes. The single-writer
+  * requirement while a stream runs is ENFORCED (r17): the stream takes
+  * the store's writer lease at start and holds it until the query
+  * terminates, so a concurrent batch append/delete/compact fails fast
+  * instead of silently corrupting gen accounting. Replay idempotency on
+  * both layouts and the texts path is pinned by StoreStreamReplaySpec;
+  * the lease by WriterLeaseSpec. */
 object StoreStream {
 
   val vecSchema: StructType = StructType(Seq(
@@ -41,6 +46,47 @@ object StoreStream {
 
   /** Sentinel: resolve startGen from the store at stream start. */
   final val AutoGen: Long = Long.MinValue
+
+  /** The stream's writer-lease owner token — derived from the CHECKPOINT
+    * dir, not a fresh UUID, so a restart of the same logical stream
+    * (same checkpoint) re-acquires a lease its crashed predecessor left
+    * behind instead of being locked out of its own store. */
+  private[graft] def streamOwner(checkpointDir: String): String =
+    s"stream:$checkpointDir"
+
+  /** Release the stream's writer lease when the query terminates (stop,
+    * failure, or source exhaustion): a StreamingQueryListener keyed on
+    * the query id, removed after it fires. The post-registration
+    * isActive check closes the add-window race (a query that died before
+    * the listener registered would otherwise leak the lease until a
+    * manual [[VectorIndex.breakWriterLease]]); release is idempotent and
+    * owner-checked, so the double release when both paths run is a
+    * no-op, and a lease already re-taken by a successor stream is never
+    * deleted from under it (the successor's owner differs only if the
+    * checkpoint differs — same-checkpoint successors share the owner and
+    * the lease by design). */
+  private[graft] def releaseOnTermination(
+      spark: SparkSession, storePath: String, owner: String,
+      query: StreamingQuery): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          try VectorIndex.releaseWriterLease(spark, storePath, owner)
+          finally spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    if (!query.isActive) {
+      VectorIndex.releaseWriterLease(spark, storePath, owner)
+      spark.streams.removeListener(listener)
+    }
+  }
 
   /** The stream's base generation, DURABLY: gen-of-batchId is
     * `base + batchId`, and the replay receipt ([[VectorIndex.genExists]])
@@ -54,27 +100,60 @@ object StoreStream {
     * runs once per checkpoint lifetime: first start resolves (AutoGen →
     * nextGen over base+delta; an explicit startGen → as given) and
     * records the base under `<checkpointDir>/graft_base_gen`
-    * (write-temp + atomic rename); every restart reads the recorded
-    * value — an explicit startGen differing from the marker is ignored
-    * in favor of the marker, because changing the mapping mid-checkpoint
-    * is precisely the unsound thing. A wiped checkpoint dir loses the
-    * marker and the batchId sequence TOGETHER, which is the documented
-    * re-ingest-from-scratch semantics (and a fresh nextGen then lands
-    * above every committed gen — no collision). Crash windows around the
-    * marker itself are safe: it is written at stream start, before any
-    * batch runs, and a re-resolution after a crash-before-rename sees an
-    * unchanged store. */
+    * (write-temp + rename + read-back verify); every restart reads the
+    * recorded value. An explicit startGen that CONFLICTS with the marker
+    * THROWS (r17, VERDICT r16 item 4): changing the mapping
+    * mid-checkpoint is precisely the unsound thing, and silently
+    * preferring the marker left the operator with no signal. A
+    * checkpoint that already has committed progress (`commits`/`offsets`
+    * present) but NO marker is a pre-marker-upgrade checkpoint (r17,
+    * ADVICE r16): minting a fresh base there would shift gen-of-batchId
+    * for exactly the crash-window replays the marker exists to protect,
+    * so AutoGen fails loudly — wipe the checkpoint (re-ingest) or pass
+    * the original base explicitly, which is then recorded. A wiped
+    * checkpoint dir loses the marker and the batchId sequence TOGETHER,
+    * which is the documented re-ingest-from-scratch semantics (and a
+    * fresh nextGen then lands above every committed gen — no collision).
+    * Crash windows around the marker itself are safe: it is written at
+    * stream start, before any batch runs, and a re-resolution after a
+    * crash-before-rename sees an unchanged store. POSIX rename silently
+    * REPLACES an existing destination, so two racing first-starts could
+    * both "succeed" — the read-back verify (r17, ADVICE r16) catches the
+    * loser mechanically (equal racing bases — two AutoGen starts on an
+    * unchanged store — verify clean on both sides, and equal bases are
+    * the same mapping). */
   private[graft] def durableStartGen(
       spark: SparkSession, storePath: String, checkpointDir: String,
       startGen: Long): Long = {
     val dir = new org.apache.hadoop.fs.Path(checkpointDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(dir, "graft_base_gen")
-    if (fs.exists(marker)) {
+    def readMarker(): Long = {
       val in = fs.open(marker)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
       finally in.close()
+    }
+    if (fs.exists(marker)) {
+      val recorded = readMarker()
+      if (startGen != AutoGen && startGen != recorded)
+        throw new IllegalArgumentException(
+          s"explicit startGen=$startGen conflicts with this checkpoint's " +
+            s"recorded base gen $recorded ($marker): changing the " +
+            "gen-of-batchId mapping mid-checkpoint would double-append " +
+            "crash-window replays — restart with AutoGen (or the recorded " +
+            "base), or wipe the checkpoint to re-ingest from scratch")
+      recorded
     } else {
+      val hasProgress = Seq("commits", "offsets").exists(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(dir, d)))
+      if (hasProgress && startGen == AutoGen)
+        throw new IllegalStateException(
+          s"checkpoint $checkpointDir has committed batches but no base-gen " +
+            "marker (created before the marker upgrade?): re-deriving the " +
+            "base would shift the gen-of-batchId mapping and reopen the " +
+            "crash-window double-append — wipe the checkpoint to re-ingest " +
+            "from scratch, or pass the stream's ORIGINAL startGen " +
+            "explicitly to record it")
       val base =
         if (startGen == AutoGen) VectorIndex.nextGen(spark, storePath)
         else startGen
@@ -86,6 +165,13 @@ object StoreStream {
         throw new java.io.IOException(
           s"could not commit base-gen marker $marker (concurrent stream " +
             "start against the same checkpoint?)")
+      val committed = readMarker()
+      if (committed != base)
+        throw new java.io.IOException(
+          s"base-gen marker $marker holds $committed after this start " +
+            s"wrote $base — a concurrent first-start against the same " +
+            "checkpoint won the rename race; restart (the recorded value " +
+            "now rules this checkpoint)")
       base
     }
   }
@@ -105,15 +191,21 @@ object StoreStream {
     }
 
   /** Texts twin of [[ingestVecBatch]] — same receipt, append through
-    * [[graft.operators.TextStore.addTexts]] (chunk + featurize + upsert). */
+    * [[graft.operators.TextStore.addTexts]] (chunk + featurize + upsert).
+    * `owner` is the writer-lease identity the append runs under: the
+    * stream passes its own (reentrant under the stream lease); direct
+    * callers default to a fresh per-call owner, i.e. plain batch
+    * semantics. */
   private[graft] def ingestTextBatch(
       spark: SparkSession, storePath: String, batch: DataFrame,
-      gen: Long): Unit =
+      gen: Long,
+      owner: String = VectorIndex.newWriterOwner("append")): Unit =
     if (!VectorIndex.genExists(spark, storePath, gen)) {
       val src = batch.persist()
       try {
         if (!src.isEmpty)
-          graft.operators.TextStore.addTexts(spark, storePath, src, gen)
+          graft.operators.TextStore.addTextsAs(spark, storePath, src, gen,
+            owner)
       } finally src.unpersist()
     }
 
@@ -129,7 +221,7 @@ object StoreStream {
       checkpointDir: String,
       startGen: Long = AutoGen): StreamingQuery =
     ingestWith(spark, dir, storePath, startGen, checkpointDir,
-      VectorIndex.appendStore(_, storePath, _, _))
+      owner => VectorIndex.appendStoreAs(_, storePath, _, _, owner))
 
   /** Same live `add_texts` path into the bucket-partitioned LSH store —
     * the store CRUD surface is layout-independent (one shared append
@@ -141,7 +233,7 @@ object StoreStream {
       checkpointDir: String,
       startGen: Long = AutoGen): StreamingQuery =
     ingestWith(spark, dir, storePath, startGen, checkpointDir,
-      VectorIndex.appendLshStore(_, storePath, _, _))
+      owner => VectorIndex.appendLshStoreAs(_, storePath, _, _, owner))
 
   val textSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -162,15 +254,27 @@ object StoreStream {
       checkpointDir: String,
       startGen: Long = AutoGen): StreamingQuery = {
     val base = durableStartGen(spark, storePath, checkpointDir, startGen)
-    spark.readStream
-      .schema(textSchema)
-      .json(dir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestTextBatch(batch.sparkSession, storePath, batch, base + batchId)
+    val owner = streamOwner(checkpointDir)
+    VectorIndex.acquireWriterLease(spark, storePath, owner)
+    val query =
+      try {
+        spark.readStream
+          .schema(textSchema)
+          .json(dir)
+          .writeStream
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            ingestTextBatch(batch.sparkSession, storePath, batch,
+              base + batchId, owner)
+          }
+          .start()
+      } catch {
+        case t: Throwable =>
+          VectorIndex.releaseWriterLease(spark, storePath, owner)
+          throw t
       }
-      .start()
+    releaseOnTermination(spark, storePath, owner, query)
+    query
   }
 
   private def ingestWith(
@@ -179,17 +283,30 @@ object StoreStream {
       storePath: String,
       startGen: Long,
       checkpointDir: String,
-      append: (SparkSession, DataFrame, Long) => Unit): StreamingQuery = {
+      appendAs: String => (SparkSession, DataFrame, Long) => Unit)
+      : StreamingQuery = {
     val base = durableStartGen(spark, storePath, checkpointDir, startGen)
-    spark.readStream
-      .schema(vecSchema)
-      .json(dir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestVecBatch(batch.sparkSession, storePath, batch,
-          base + batchId, append)
+    val owner = streamOwner(checkpointDir)
+    VectorIndex.acquireWriterLease(spark, storePath, owner)
+    val append = appendAs(owner)
+    val query =
+      try {
+        spark.readStream
+          .schema(vecSchema)
+          .json(dir)
+          .writeStream
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            ingestVecBatch(batch.sparkSession, storePath, batch,
+              base + batchId, append)
+          }
+          .start()
+      } catch {
+        case t: Throwable =>
+          VectorIndex.releaseWriterLease(spark, storePath, owner)
+          throw t
       }
-      .start()
+    releaseOnTermination(spark, storePath, owner, query)
+    query
   }
 }

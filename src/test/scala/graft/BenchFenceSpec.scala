@@ -63,6 +63,39 @@ class BenchFenceSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(bad, """{"metric":"total","value":1.0}""")
     val e = intercept[IllegalArgumentException](Bench.refTimes(bad.toString))
     assert(e.getMessage.contains("queries"))
+    // malformed shapes fail as loudly as missing ones (r17, ADVICE r16):
+    // a non-object 'queries' used to yield an empty map (ref-retry
+    // silently disarmed), non-numeric values coerced to 0.0 (every query
+    // looks like a >2x regression and the whole sweep re-runs)
+    val nonObj = java.nio.file.Files.createTempFile("graft_ref_bad_", ".json")
+    java.nio.file.Files.writeString(nonObj,
+      """{"metric":"total","queries":[1,2,3]}""")
+    intercept[IllegalArgumentException](Bench.refTimes(nonObj.toString))
+    val nonNum = java.nio.file.Files.createTempFile("graft_ref_bad_", ".json")
+    java.nio.file.Files.writeString(nonNum,
+      """{"metric":"total","queries":{"q1_agg":"failed"}}""")
+    val en = intercept[IllegalArgumentException](Bench.refTimes(nonNum.toString))
+    assert(en.getMessage.contains("q1_agg"))
+  }
+
+  test("refFloor resolves per SF: env wins, then the per-SF floor file, then 2.0") {
+    // no env in the test JVM: the per-SF file (written relative to CWD,
+    // as Bench runs) is read for a matching tag, 2.0 otherwise
+    val dir = java.nio.file.Paths.get("bench")
+    val probe = dir.resolve("noise_floor_sf987.json")
+    assert(!java.nio.file.Files.exists(probe), "stale test floor file")
+    assert(Bench.refFloor("/tmp/sf987") == 2.0)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(probe, """{"floor_sec":4.5}""")
+    try assert(Bench.refFloor("/tmp/sf987") == 4.5)
+    finally java.nio.file.Files.delete(probe)
+    // the dot-stripping tag rule: sf0.1 -> sf01
+    val probe01 = dir.resolve("noise_floor_sf01.json")
+    if (java.nio.file.Files.exists(probe01)) {
+      val rec = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(probe01.toFile).get("floor_sec").asDouble()
+      assert(Bench.refFloor("/x/sf0.1") == rec)
+    }
   }
 
   test("refRetryCandidates: swing hits retry, stable heavy tail and sub-floor noise don't") {

@@ -146,11 +146,36 @@ class StoreStreamReplaySpec extends SparkSpec {
     StoreStream.ingestVecBatch(spark, store, vecBatch(4800000L),
       gen = base2 + 1, VectorIndex.appendStore(_, store, _, _))
     assert(deltaRows(store) == afterCrashWindow)
-    // an explicit startGen cannot shift an existing checkpoint's mapping
-    assert(StoreStream.durableStartGen(spark, store, ckpt, 77L) == base)
+    // an explicit startGen cannot shift an existing checkpoint's mapping:
+    // a MATCHING one is accepted, a CONFLICTING one throws (r17, VERDICT
+    // r16 item 4 — the silent marker-wins left the operator no signal)
+    assert(StoreStream.durableStartGen(spark, store, ckpt, base) == base)
+    val conflict = intercept[IllegalArgumentException](
+      StoreStream.durableStartGen(spark, store, ckpt, 77L))
+    assert(conflict.getMessage.contains("recorded base gen"))
     // a FRESH checkpoint resolves fresh (above the orphaned gen)
     val ckpt2 = Files.createTempDirectory("replay_basegen_ck2").toString
     assert(StoreStream.durableStartGen(
       spark, store, ckpt2, StoreStream.AutoGen) == base + 2)
+  }
+
+  test("a pre-marker checkpoint with committed batches refuses a minted base") {
+    // the r16 upgrade hole (ADVICE r16): a checkpoint created BEFORE the
+    // marker existed has commits but no graft_base_gen — minting a fresh
+    // base there shifts gen-of-batchId across exactly the crash-window
+    // replays the marker protects, so AutoGen must fail loudly
+    val store = Files.createTempDirectory("premarker_store").toString
+    val ckpt = Files.createTempDirectory("premarker_ck").toString
+    VectorIndex.writeStore(spark, sfDir, store)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$ckpt/commits"))
+    val e = intercept[IllegalStateException](
+      StoreStream.durableStartGen(spark, store, ckpt, StoreStream.AutoGen))
+    assert(e.getMessage.contains("no base-gen marker"))
+    // the documented remedy: the operator supplies the stream's ORIGINAL
+    // base explicitly — accepted and recorded for every later restart
+    assert(StoreStream.durableStartGen(spark, store, ckpt, 3L) == 3L)
+    assert(StoreStream.durableStartGen(
+      spark, store, ckpt, StoreStream.AutoGen) == 3L)
   }
 }

@@ -121,26 +121,40 @@ def main():
     ap.add_argument("--threshold", type=float, default=1.25)
     ap.add_argument("--floor", type=float, default=None,
                     help="seconds; queries under this in BOTH artifacts never flag")
-    ap.add_argument("--floor-file", dest="floor_file",
-                    default="bench/noise_floor_sf01.json",
+    ap.add_argument("--floor-file", dest="floor_file", default=None,
                     help="noise_floor.py artifact whose floor_sec replaces "
-                         "the default when --floor is not given")
+                         "the default when --floor is not given; default: "
+                         "the per-SF file matching the NEW artifact "
+                         "(bench/noise_floor_<sf-tag>.json), falling back "
+                         "to the sf0.1 one")
     ap.add_argument("--json", dest="json_out")
     args = ap.parse_args()
 
-    # flagging floor: explicit --floor wins; otherwise the measured floor
-    # from noise_floor.py's artifact (r16: derived from a 10-pass sf0.1
-    # sweep's per-query spread); 0.5 s only as the last-resort legacy value
+    old, new = load_artifact(args.old), load_artifact(args.new)
+
+    # flagging floor: explicit --floor wins; then an explicit floor file;
+    # then the measured PER-SF floor matching the NEW artifact's scale
+    # (r17, VERDICT r16 item 6: the sf0.1-derived 2.0 s floor was applied
+    # at every scale, but sf100's sub-10 s band swings far wider); the
+    # sf0.1 file is the fallback, 0.5 s the last-resort legacy value.
     floor_src = "--floor"
     if args.floor is None:
-        try:
-            args.floor = float(json.load(open(args.floor_file))["floor_sec"])
-            floor_src = args.floor_file
-        except (OSError, ValueError, KeyError):
+        candidates = [args.floor_file] if args.floor_file else []
+        m = re.search(r"(sf[0-9]*\.?[0-9]+)", str(new.get("sf", "")))
+        if m:
+            candidates.append(
+                "bench/noise_floor_%s.json" % m.group(1).replace(".", ""))
+        candidates.append("bench/noise_floor_sf01.json")
+        for c in candidates:
+            try:
+                args.floor = float(json.load(open(c))["floor_sec"])
+                floor_src = c
+                break
+            except (OSError, ValueError, KeyError):
+                continue
+        if args.floor is None:
             args.floor = 0.5
             floor_src = "legacy default (no floor file)"
-
-    old, new = load_artifact(args.old), load_artifact(args.new)
     same_sf = sf_of(old) is not None and sf_of(old) == sf_of(new)
     probes, dropped = shared_probes(old, new, use_scan=same_sf)
     w_old = window_factor(old, probes)
