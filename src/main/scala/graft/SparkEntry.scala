@@ -2138,18 +2138,28 @@ object SparkEntry {
     // re-identified +900000), flagged against the full corpus. The
     // oracle derives the incoming side's signatures by id-shift from the
     // shared sig chain (same text -> same sig, by the determinism the
-    // whole minhash family rests on); no sf0.01 bucket approaches the
-    // gate's default cap (empty dead set => capped ≡ uncapped), so
-    // Spark's lowest-alive-band exactly-once emission equals the
-    // DISTINCT over all co-bucketed pairs.
+    // whole minhash family rests on). `gcap` replays the gate's
+    // w-weighted maxDf bucket cap (r17 — previously omitted because no
+    // graded-scale bucket approaches it, which made the oracle silently
+    // uncapped: at a scale where the cap engages, Spark drops pairs whose
+    // every shared bucket is dead and the capless oracle would not —
+    // a latent hash mismatch, found and closed by the r17 low-cap
+    // verification). count(*) over the doc-level `bands` CTE IS the
+    // w-weighted unique count — copies share band hashes. Spark's
+    // lowest-ALIVE-band exactly-once emission equals the DISTINCT over
+    // pairs co-bucketed in >= 1 surviving bucket.
     "corpus_neardup_gate" ->
       s"""WITH $minhashSigCtes,
+         |gcap AS (
+         |  SELECT band, bh FROM bands GROUP BY band, bh
+         |  HAVING count(*) <= 1000),
          |incb AS (
          |  SELECT doc_id + 900000 AS doc_id, band, bh
          |  FROM bands WHERE doc_id % 10 = 3),
          |gpairs AS (
          |  SELECT DISTINCT i.doc_id, b.doc_id AS corpus_doc_id
-         |  FROM incb i JOIN bands b USING (band, bh))
+         |  FROM incb i JOIN gcap USING (band, bh)
+         |  JOIN bands b USING (band, bh))
          |SELECT p.doc_id, p.corpus_doc_id,
          |  FLOOR(len(list_filter(range(128),
          |      i -> sa.sig[CAST(i + 1 AS INTEGER)] = sb.sig[CAST(i + 1 AS INTEGER)]))
@@ -2168,12 +2178,16 @@ object SparkEntry {
     // the pair mode's per-doc row count
     "corpus_neardup_gate_repr" ->
       s"""WITH $minhashSigCtes,
+         |gcap AS (
+         |  SELECT band, bh FROM bands GROUP BY band, bh
+         |  HAVING count(*) <= 1000),
          |incb AS (
          |  SELECT doc_id + 900000 AS doc_id, band, bh
          |  FROM bands WHERE doc_id % 10 = 3),
          |gpairs AS (
          |  SELECT DISTINCT i.doc_id, b.doc_id AS corpus_doc_id
-         |  FROM incb i JOIN bands b USING (band, bh)),
+         |  FROM incb i JOIN gcap USING (band, bh)
+         |  JOIN bands b USING (band, bh)),
          |flags AS (
          |  SELECT p.doc_id, p.corpus_doc_id,
          |    FLOOR(len(list_filter(range(128),
