@@ -76,11 +76,25 @@ object CapVerify {
           maxBucket = cap)),
       ("corpus_embedding_gate_repr_cap", "corpus_embedding_gate_repr",
         () => Dedup.embeddingNearDupGateRepr(incomingVecs, spark, sfDir,
-          maxBucket = cap)))
+          maxBucket = cap)),
+      ("knn_graph_cap", "knn_graph",
+        () => Dedup.knnGraph(spark, sfDir, maxBucket = cap)))
+
+    // INVARIANCE cases: simhash's maxBucket is a blocked self-join split
+    // (every pair still meets exactly once — capping loses nothing), so
+    // the capped Spark run must byte-match the UNCAPPED oracle. The
+    // oracle SQL deliberately carries no cap literal here; the low cap
+    // forces the sub-bucket replication path (s = ceil(df/maxBucket)
+    // id-hash sub-buckets, upper-triangle grid) that default-cap grading
+    // never executes.
+    val invariantCases: Seq[(String, String, () => DataFrame)] = Seq(
+      ("dedup_simhash_capinv", "dedup_simhash",
+        () => Dedup.simhash(spark, sfDir, maxBucket = cap)),
+      ("dedup_simhash_repr_capinv", "dedup_simhash_repr",
+        () => Dedup.simhashRepr(spark, sfDir, maxBucket = cap)))
 
     var failed = 0
-    val sqls = cases.map { case (name, oracleKey, fn) =>
-      val sql = lowCap(oracleKey, cap) // resolve before running: fail fast
+    def runCase(name: String, sql: String, fn: () => DataFrame): (String, String) = {
       try fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed += 1
@@ -88,6 +102,13 @@ object CapVerify {
       }
       name -> sql
     }
+    val sqls =
+      cases.map { case (name, oracleKey, fn) =>
+        runCase(name, lowCap(oracleKey, cap), fn) // resolve first: fail fast
+      } ++
+      invariantCases.map { case (name, oracleKey, fn) =>
+        runCase(name, SparkEntry.oracleSql(oracleKey), fn)
+      }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -99,7 +120,8 @@ object CapVerify {
     } + "\""
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       sqls.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    println(s"""{"metric":"cap_verify","cap":$cap,"cases":${cases.size},""" +
+    println(s"""{"metric":"cap_verify","cap":$cap,""" +
+      s""""cases":${cases.size + invariantCases.size},""" +
       s""""failed":$failed,"sf":"$sfDir","out":"$outDir"}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
