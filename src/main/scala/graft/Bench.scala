@@ -204,7 +204,7 @@ object Bench {
       throw new IllegalArgumentException(
         s"$path: 'queries' is not an object (${qn.getNodeType}) — " +
           "SPARK_GRAFT_REF needs a plain Bench artifact line")
-    val it = qn.fields()
+    val it = qn.properties().iterator()
     val b = Map.newBuilder[String, Double]
     while (it.hasNext) {
       val e = it.next()
