@@ -360,7 +360,15 @@ object VectorIndex {
   private def leasePath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_writer_lease")
 
-  private def readLeaseLine(
+  /** The lease file's full content: owner on line 1 (exact-match token —
+    * newline-delimited, so an owner that is a space-prefix of another,
+    * e.g. checkpoint paths '/ck/a' vs '/ck/a b', can never alias), epoch
+    * + diagnostics on line 2. */
+  private def leaseContent(owner: String): String =
+    s"$owner\nepoch=${java.util.UUID.randomUUID()} " +
+      s"ts=${java.time.Instant.now()} pid=${ProcessHandle.current().pid()}"
+
+  private def readLease(
       spark: SparkSession, path: String): Option[String] = {
     val f = fs(spark)
     val lp = leasePath(path)
@@ -368,54 +376,118 @@ object VectorIndex {
       if (!f.exists(lp)) None
       else {
         val in = f.open(lp)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
         finally in.close()
       }
     } catch { case _: java.io.IOException => None } // racing release
   }
 
+  private def leaseOwnerOf(content: String): String =
+    content.linesIterator.nextOption().getOrElse("")
+
   private[graft] def newWriterOwner(kind: String): String =
     s"$kind:pid=${ProcessHandle.current().pid()}:" +
       java.util.UUID.randomUUID().toString
 
-  /** Acquire the store's writer lease for `owner`. Returns true if THIS
-    * call created the lease (the caller must release it), false if
-    * `owner` already holds it (reentrant — the caller must NOT release,
-    * the outer holder will). Throws if a different owner holds it.
-    * Atomicity: `fs.create(overwrite = false)` — unlike rename, which
-    * silently replaces an existing destination on a POSIX local fs. */
-  private[graft] def acquireWriterLease(
-      spark: SparkSession, path: String, owner: String): Boolean = {
-    val f = fs(spark)
+  /** Atomic create-or-fail of the lease file. Hadoop's local filesystems
+    * implement `create(f, overwrite = false)` as a NON-atomic
+    * exists-then-create, so for the `file` scheme this goes through
+    * java.nio `Files.createFile` (O_EXCL — two racing acquirers cannot
+    * both win); other filesystems (HDFS-like) keep the hadoop call,
+    * which IS atomic there. Content is written after the claim; a crash
+    * between the two leaves an owner-less lease, which reads as held-by
+    * "unreadable/empty lease" and needs breakWriterLease — loud, never
+    * silent double-writing. */
+  private def createLease(
+      spark: SparkSession, path: String, content: String): Unit = {
     val lp = leasePath(path)
+    val uri = lp.toUri
+    if (Option(uri.getScheme).forall(_ == "file")) {
+      val nio = java.nio.file.Paths.get(uri.getPath)
+      java.nio.file.Files.createFile(nio) // throws nio FileAlreadyExists
+      java.nio.file.Files.writeString(nio, content): Unit
+    } else {
+      val out = fs(spark).create(lp, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Acquire the store's writer lease for `owner`. Returns the lease
+    * content written if THIS call created the lease (the caller must
+    * release it, by owner or exact content), None if `owner` already
+    * holds it (reentrant — the outer holder releases). Throws if a
+    * different owner holds it. A create-fail whose read-back finds the
+    * lease GONE (the holder released in the race window) retries once —
+    * a free store must not report as locked. */
+  private[graft] def acquireWriterLease(
+      spark: SparkSession, path: String, owner: String): Option[String] = {
     def rejected(holder: String): Nothing = throw new IllegalStateException(
       s"store $path is locked by another writer [$holder] — the store is " +
         "single-writer (a concurrent append would corrupt generation " +
         "accounting); wait for the holder, or if it crashed, clear the " +
         "lease with VectorIndex.breakWriterLease")
-    try {
-      val out = f.create(lp, false) // atomic create-or-fail
-      try out.write(
-        s"$owner ts=${java.time.Instant.now()}".getBytes("UTF-8"))
-      finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-          _: java.nio.file.FileAlreadyExistsException =>
-        val held = readLeaseLine(spark, path).getOrElse("unreadable lease")
-        if (held == owner || held.startsWith(owner + " ")) false
-        else rejected(held)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val content = leaseContent(owner)
+      try {
+        createLease(spark, path, content)
+        return Some(content)
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.nio.file.FileAlreadyExistsException =>
+          readLease(spark, path) match {
+            case Some(held) if leaseOwnerOf(held) == owner => return None
+            case Some(held) => rejected(leaseOwnerOf(held) match {
+              case "" => "unreadable/empty lease"
+              case o => o
+            })
+            case None if attempt < 2 => () // released mid-race: retry
+            case None => rejected("unreadable lease (racing release?)")
+          }
+      }
     }
+    None // unreachable
   }
 
   /** Release the lease if (and only if) `owner` holds it — idempotent,
     * and a lease broken and re-taken by someone else is never deleted
     * by the old holder. */
   private[graft] def releaseWriterLease(
-      spark: SparkSession, path: String, owner: String): Unit = {
-    val held = readLeaseLine(spark, path)
-    if (held.exists(h => h == owner || h.startsWith(owner + " ")))
+      spark: SparkSession, path: String, owner: String): Unit =
+    if (readLease(spark, path).exists(h => leaseOwnerOf(h) == owner))
       fs(spark).delete(leasePath(path), false): Unit
+
+  /** Release only if the lease holds EXACTLY `content` — the stream-
+    * termination path: same-checkpoint stream incarnations share an
+    * owner, so an owner-level release from incarnation 1's late
+    * termination event could delete the lease out from under a running
+    * incarnation 2. Epochs (in the content line) make each incarnation's
+    * release a no-op against its successor's lease. */
+  private[graft] def releaseWriterLeaseExact(
+      spark: SparkSession, path: String, content: String): Unit =
+    if (readLease(spark, path).contains(content))
+      fs(spark).delete(leasePath(path), false): Unit
+
+  /** Re-stamp an already-held (same-owner) lease with a fresh epoch and
+    * return the new content — what a restarted stream does after a
+    * reentrant acquire, so the previous incarnation's pending release
+    * can no longer match. Only valid while `owner` holds the lease. */
+  private[graft] def refreshWriterLease(
+      spark: SparkSession, path: String, owner: String): String = {
+    require(readLease(spark, path).exists(h => leaseOwnerOf(h) == owner),
+      s"refreshWriterLease: $owner does not hold the lease on $path")
+    val content = leaseContent(owner)
+    val lp = leasePath(path)
+    val uri = lp.toUri
+    if (Option(uri.getScheme).forall(_ == "file"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(uri.getPath), content): Unit
+    else {
+      val out = fs(spark).create(lp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    content
   }
 
   /** Operator escape hatch: clear a lease whose holder is known dead (a
@@ -427,9 +499,9 @@ object VectorIndex {
 
   private def withWriterLease[A](
       spark: SparkSession, path: String, owner: String)(body: => A): A = {
-    val mine = acquireWriterLease(spark, path, owner)
+    val mine = acquireWriterLease(spark, path, owner) // None = reentrant
     try body
-    finally if (mine) releaseWriterLease(spark, path, owner)
+    finally mine.foreach(c => releaseWriterLeaseExact(spark, path, c))
   }
 
   // ---- append delta (LSM shape) --------------------------------------

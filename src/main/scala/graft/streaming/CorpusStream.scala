@@ -194,31 +194,22 @@ object CorpusStream {
       maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val base = graft.streaming.StoreStream.durableStartGen(
       spark, storePath, checkpointDir, startGen)
-    // single-writer lease for the stream's lifetime (r17) — same
-    // enforcement as StoreStream: a concurrent batch writer against the
-    // ingesting store fails fast instead of corrupting gen accounting
+    // single-writer lease for the stream's lifetime (r17) — the shared
+    // start protocol in StoreStream: a concurrent batch writer against
+    // the ingesting store fails fast instead of corrupting gen accounting
     val owner = graft.streaming.StoreStream.streamOwner(checkpointDir)
-    graft.operators.VectorIndex.acquireWriterLease(spark, storePath, owner)
-    val query =
-      try {
-        fileSource(spark, streamDir,
-          graft.streaming.StoreStream.textSchema, maxFilesPerTrigger)
-          .writeStream
-          .option("checkpointLocation", checkpointDir)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            ingestBatch(batch.sparkSession, sfDir, storePath, batch,
-              base + batchId, minQuality, owner)
-          }
-          .start()
-      } catch {
-        case t: Throwable =>
-          graft.operators.VectorIndex.releaseWriterLease(
-            spark, storePath, owner)
-          throw t
-      }
-    graft.streaming.StoreStream.releaseOnTermination(
-      spark, storePath, owner, query)
-    query
+    graft.streaming.StoreStream.startLeasedIngest(
+      spark, storePath, checkpointDir) {
+      fileSource(spark, streamDir,
+        graft.streaming.StoreStream.textSchema, maxFilesPerTrigger)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          ingestBatch(batch.sparkSession, sfDir, storePath, batch,
+            base + batchId, minQuality, owner)
+        }
+        .start()
+    }
   }
 
   /** One micro-batch of [[ingestPipeline]]: admit, then append the

@@ -54,21 +54,70 @@ object StoreStream {
   private[graft] def streamOwner(checkpointDir: String): String =
     s"stream:$checkpointDir"
 
+  /** Live same-session streams by lease owner — the guard that makes a
+    * reentrant lease acquire safe: the lease alone cannot distinguish "a
+    * crashed predecessor left this behind" (take over) from "that stream
+    * is STILL RUNNING" (starting a second one would first steal its
+    * lease epoch and then, when Spark rejects the duplicate checkpoint,
+    * the failure path would tear the lease down under the live query).
+    * Cross-process same-checkpoint double-starts remain the operator's
+    * contract violation — Spark itself corrupts the checkpoint there. */
+  private val activeStreams =
+    new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+
+  /** The shared stream-start protocol for every leased ingest path
+    * (StoreStream.ingest/ingestLsh/ingestTexts, CorpusStream
+    * .ingestPipeline): refuse a live same-session duplicate; acquire the
+    * store lease (a reentrant acquire — crashed or stopped predecessor —
+    * is re-stamped with a fresh epoch so the predecessor's still-pending
+    * termination release can no longer match); release on a failed
+    * start; otherwise release-by-exact-content when the query
+    * terminates. One home for the protocol — the r17 review found the
+    * three hand-rolled copies had already diverged into a bug (the
+    * failed-start release ran even for reentrant acquires). */
+  private[graft] def startLeasedIngest(
+      spark: SparkSession, storePath: String, checkpointDir: String)(
+      build: => StreamingQuery): StreamingQuery = {
+    val owner = streamOwner(checkpointDir)
+    val prior = activeStreams.get(owner)
+    if (prior != null && prior.isActive)
+      throw new IllegalStateException(
+        s"a stream on checkpoint $checkpointDir is already active in this " +
+          "session — stop it (and await termination) before restarting")
+    val content = VectorIndex.acquireWriterLease(spark, storePath, owner)
+      .getOrElse(VectorIndex.refreshWriterLease(spark, storePath, owner))
+    val query =
+      try build
+      catch {
+        case t: Throwable =>
+          VectorIndex.releaseWriterLeaseExact(spark, storePath, content)
+          throw t
+      }
+    activeStreams.put(owner, query)
+    releaseOnTermination(spark, storePath, owner, content, query)
+    query
+  }
+
   /** Release the stream's writer lease when the query terminates (stop,
     * failure, or source exhaustion): a StreamingQueryListener keyed on
-    * the query id, removed after it fires. The post-registration
-    * isActive check closes the add-window race (a query that died before
-    * the listener registered would otherwise leak the lease until a
-    * manual [[VectorIndex.breakWriterLease]]); release is idempotent and
-    * owner-checked, so the double release when both paths run is a
-    * no-op, and a lease already re-taken by a successor stream is never
-    * deleted from under it (the successor's owner differs only if the
-    * checkpoint differs — same-checkpoint successors share the owner and
-    * the lease by design). */
-  private[graft] def releaseOnTermination(
+    * the query RUN id (the per-incarnation identity — `query.id` is
+    * persisted in the checkpoint and shared across restarts, so a stale
+    * termination event from the previous incarnation must not match),
+    * removed after it fires. The release matches the EXACT lease content
+    * (owner + this incarnation's epoch), so a successor that re-stamped
+    * the lease is never torn down by a late predecessor event. The
+    * post-registration isActive check closes the add-window race (a
+    * query that died before the listener registered would otherwise
+    * leak the lease until a manual [[VectorIndex.breakWriterLease]]);
+    * release is idempotent, so both paths running is a no-op. */
+  private def releaseOnTermination(
       spark: SparkSession, storePath: String, owner: String,
-      query: StreamingQuery): Unit = {
+      content: String, query: StreamingQuery): Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
+    def release(): Unit = {
+      VectorIndex.releaseWriterLeaseExact(spark, storePath, content)
+      activeStreams.remove(owner, query): Unit
+    }
     val listener = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -76,14 +125,14 @@ object StoreStream {
           e: StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          try VectorIndex.releaseWriterLease(spark, storePath, owner)
+        if (e.runId == query.runId) {
+          try release()
           finally spark.streams.removeListener(this)
         }
     }
     spark.streams.addListener(listener)
     if (!query.isActive) {
-      VectorIndex.releaseWriterLease(spark, storePath, owner)
+      release()
       spark.streams.removeListener(listener)
     }
   }
@@ -158,7 +207,11 @@ object StoreStream {
         if (startGen == AutoGen) VectorIndex.nextGen(spark, storePath)
         else startGen
       fs.mkdirs(dir)
-      val tmp = new org.apache.hadoop.fs.Path(dir, "graft_base_gen.tmp")
+      // per-writer unique tmp: racing first-starts must not rename each
+      // other's CONTENT (the read-back below then compares one writer's
+      // base against another's bytes, not against a clobbered mix)
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"graft_base_gen.tmp.${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try out.write(base.toString.getBytes("UTF-8")) finally out.close()
       if (!fs.rename(tmp, marker))
@@ -255,26 +308,18 @@ object StoreStream {
       startGen: Long = AutoGen): StreamingQuery = {
     val base = durableStartGen(spark, storePath, checkpointDir, startGen)
     val owner = streamOwner(checkpointDir)
-    VectorIndex.acquireWriterLease(spark, storePath, owner)
-    val query =
-      try {
-        spark.readStream
-          .schema(textSchema)
-          .json(dir)
-          .writeStream
-          .option("checkpointLocation", checkpointDir)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            ingestTextBatch(batch.sparkSession, storePath, batch,
-              base + batchId, owner)
-          }
-          .start()
-      } catch {
-        case t: Throwable =>
-          VectorIndex.releaseWriterLease(spark, storePath, owner)
-          throw t
-      }
-    releaseOnTermination(spark, storePath, owner, query)
-    query
+    startLeasedIngest(spark, storePath, checkpointDir) {
+      spark.readStream
+        .schema(textSchema)
+        .json(dir)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          ingestTextBatch(batch.sparkSession, storePath, batch,
+            base + batchId, owner)
+        }
+        .start()
+    }
   }
 
   private def ingestWith(
@@ -286,27 +331,18 @@ object StoreStream {
       appendAs: String => (SparkSession, DataFrame, Long) => Unit)
       : StreamingQuery = {
     val base = durableStartGen(spark, storePath, checkpointDir, startGen)
-    val owner = streamOwner(checkpointDir)
-    VectorIndex.acquireWriterLease(spark, storePath, owner)
-    val append = appendAs(owner)
-    val query =
-      try {
-        spark.readStream
-          .schema(vecSchema)
-          .json(dir)
-          .writeStream
-          .option("checkpointLocation", checkpointDir)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            ingestVecBatch(batch.sparkSession, storePath, batch,
-              base + batchId, append)
-          }
-          .start()
-      } catch {
-        case t: Throwable =>
-          VectorIndex.releaseWriterLease(spark, storePath, owner)
-          throw t
-      }
-    releaseOnTermination(spark, storePath, owner, query)
-    query
+    val append = appendAs(streamOwner(checkpointDir))
+    startLeasedIngest(spark, storePath, checkpointDir) {
+      spark.readStream
+        .schema(vecSchema)
+        .json(dir)
+        .writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          ingestVecBatch(batch.sparkSession, storePath, batch,
+            base + batchId, append)
+        }
+        .start()
+    }
   }
 }

@@ -93,8 +93,16 @@ object CapVerify {
       ("dedup_simhash_repr_capinv", "dedup_simhash_repr",
         () => Dedup.simhashRepr(spark, sfDir, maxBucket = cap)))
 
+    // resolve EVERY oracle SQL before the first Spark job: a missing cap
+    // literal in the last case must abort at startup, not hours in
+    val resolved: Seq[(String, String, () => DataFrame)] =
+      cases.map { case (name, oracleKey, fn) =>
+        (name, lowCap(oracleKey, cap), fn)
+      } ++ invariantCases.map { case (name, oracleKey, fn) =>
+        (name, SparkEntry.oracleSql(oracleKey), fn)
+      }
     var failed = 0
-    def runCase(name: String, sql: String, fn: () => DataFrame): (String, String) = {
+    val sqls = resolved.map { case (name, sql, fn) =>
       try fn().coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed += 1
@@ -102,13 +110,6 @@ object CapVerify {
       }
       name -> sql
     }
-    val sqls =
-      cases.map { case (name, oracleKey, fn) =>
-        runCase(name, lowCap(oracleKey, cap), fn) // resolve first: fail fast
-      } ++
-      invariantCases.map { case (name, oracleKey, fn) =>
-        runCase(name, SparkEntry.oracleSql(oracleKey), fn)
-      }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -139,22 +139,33 @@ def main():
     # sf0.1 file is the fallback, 0.5 s the last-resort legacy value.
     floor_src = "--floor"
     if args.floor is None:
-        candidates = [args.floor_file] if args.floor_file else []
-        m = re.search(r"(sf[0-9]*\.?[0-9]+)", str(new.get("sf", "")))
-        if m:
-            candidates.append(
-                "bench/noise_floor_%s.json" % m.group(1).replace(".", ""))
-        candidates.append("bench/noise_floor_sf01.json")
-        for c in candidates:
+        if args.floor_file:
+            # an EXPLICITLY requested floor file that fails to load must
+            # error, not silently substitute a different noise band
             try:
-                args.floor = float(json.load(open(c))["floor_sec"])
-                floor_src = c
-                break
-            except (OSError, ValueError, KeyError):
-                continue
-        if args.floor is None:
-            args.floor = 0.5
-            floor_src = "legacy default (no floor file)"
+                args.floor = float(json.load(open(args.floor_file))["floor_sec"])
+                floor_src = args.floor_file
+            except (OSError, ValueError, KeyError) as e:
+                sys.exit(f"--floor-file {args.floor_file}: unreadable "
+                         f"({e}) — fix the path or drop the flag for the "
+                         "per-SF default")
+        else:
+            candidates = []
+            m = re.search(r"(sf[0-9]*\.?[0-9]+)", str(new.get("sf", "")))
+            if m:
+                candidates.append(
+                    "bench/noise_floor_%s.json" % m.group(1).replace(".", ""))
+            candidates.append("bench/noise_floor_sf01.json")
+            for c in candidates:
+                try:
+                    args.floor = float(json.load(open(c))["floor_sec"])
+                    floor_src = c
+                    break
+                except (OSError, ValueError, KeyError):
+                    continue
+            if args.floor is None:
+                args.floor = 0.5
+                floor_src = "legacy default (no floor file)"
     same_sf = sf_of(old) is not None and sf_of(old) == sf_of(new)
     probes, dropped = shared_probes(old, new, use_scan=same_sf)
     w_old = window_factor(old, probes)

@@ -25,9 +25,15 @@ run() { # run LOG ARTIFACT [env pairs...] -- mainclass
   while [ "$1" != "--" ]; do envs+=("$1"); shift; done
   shift
   echo "=== $(date -u +%H:%M:%S) start $art" >> /tmp/r17_chain.log
+  # clear the previous stage's line first: a stage that dies before
+  # printing must NOT get the previous artifact copied under its name (a
+  # silently mislabeled artifact); note a nonzero rc alone doesn't mean
+  # no artifact — Bench exits 1 on any failed query but still writes its
+  # self-describing line
+  rm -f BENCH_last.json
   env "${envs[@]}" java -Xmx64g $JAVA_FLAGS -cp "$CP" "$@" > "$log" 2>&1
   rc=$?
-  cp BENCH_last.json "$art" 2>/dev/null
+  [ -f BENCH_last.json ] && cp BENCH_last.json "$art"
   echo "=== $(date -u +%H:%M:%S) done  $art rc=$rc" >> /tmp/r17_chain.log
 }
 
