@@ -233,16 +233,26 @@ object Bench {
     val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
     val comp = Option(ManagementFactory.getCompilationMXBean)
       .filter(_.isCompilationTimeMonitoringSupported)
+    // both pool namings (r18, ADVICE r17): a segmented code cache
+    // (default) exposes three "CodeHeap '...'" pools; non-segmented
+    // (-XX:-SegmentedCodeCache / -XX:-TieredCompilation) exposes one
+    // "Code Cache" pool — matching only the former silently read 0 there
+    // and a trip diagnosis would falsely rule out code-cache pressure.
+    // No matching pool at all emits the -1 sentinel, like jit_ms.
     val cc = ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(_.getName.startsWith("CodeHeap"))
+      .filter(p => p.getName.startsWith("CodeHeap") ||
+        p.getName == "Code Cache")
     Map(
       "gc_ms" -> gc.map(_.getCollectionTime.toDouble).sum,
       "gc_n" -> gc.map(_.getCollectionCount.toDouble).sum,
       "jit_ms" -> comp.map(_.getTotalCompilationTime.toDouble).getOrElse(-1.0),
       "codecache_used_mb" ->
-        cc.map(_.getUsage.getUsed.toDouble).sum / (1 << 20),
+        (if (cc.isEmpty) -1.0
+         else cc.map(_.getUsage.getUsed.toDouble).sum / (1 << 20)),
       "codecache_max_mb" ->
-        cc.map(p => math.max(p.getUsage.getMax, 0L).toDouble).sum / (1 << 20))
+        (if (cc.isEmpty) -1.0
+         else cc.map(p =>
+           math.max(p.getUsage.getMax, 0L).toDouble).sum / (1 << 20)))
   }
 
   /** Queries whose measured min sits far above the same query's time in
@@ -271,15 +281,96 @@ object Bench {
     * tools/noise_floor.py); otherwise the sf0.1-measured 2.0 s, which
     * under-floors larger SFs (sf100's sub-10 s band swings wider) but
     * only costs extra re-samples, never a missed real regression. */
-  private[graft] def refFloor(sfDir: String): Double =
+  private[graft] def refFloor(
+      sfDir: String, refPath: Option[String] = None): Double =
     sys.env.get("SPARK_GRAFT_REF_FLOOR").map(_.toDouble).getOrElse {
       val tag = new java.io.File(sfDir).getName.replace(".", "")
-      val f = new java.io.File(s"bench/noise_floor_$tag.json")
-      if (!f.isFile) 2.0
-      else Option(new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(f).get("floor_sec"))
-        .filter(_.isNumber).map(_.asDouble()).getOrElse(2.0)
+      // resolution order (r18, ADVICE r17): next to the SPARK_GRAFT_REF
+      // artifact first (ref artifacts live in bench/, so a Bench run
+      // from outside the repo root no longer silently loses the measured
+      // floor), then bench/ under CWD
+      val candidates =
+        refPath.flatMap(p => Option(new java.io.File(p).getParentFile))
+          .map(d => new java.io.File(d, s"noise_floor_$tag.json")).toSeq :+
+          new java.io.File(s"bench/noise_floor_$tag.json")
+      candidates.find(_.isFile).flatMap { f =>
+        // one fallback policy for every malformed shape (r18, ADVICE
+        // r17): a floor file that won't parse degrades to the default
+        // like a missing or non-numeric one — with a trace — rather
+        // than aborting a sweep over an advisory knob
+        try Option(new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(f).get("floor_sec"))
+          .filter(_.isNumber).map(_.asDouble())
+        catch {
+          case e: java.io.IOException =>
+            System.err.println(
+              s"BENCH WARN unparseable noise-floor file $f " +
+                s"(${e.getMessage}); using the 2.0 s default")
+            None
+        }
+      }.getOrElse(2.0)
     }
+
+  /** Fork a fresh JVM to re-measure one query in isolation and return
+    * its measured seconds — the automated version of r17's hand-run
+    * fresh-JVM receipts (VERDICT r17 item 3): a ref-retried query that
+    * STAYS slow with quiet JIT carries the C2-profile-pollution
+    * signature, and the only reading that separates "the engine got
+    * slower" from "this JVM aged" is the same query in a JVM with
+    * virgin profiles. The child runs this same Bench main restricted to
+    * the one query (SPARK_GRAFT_ONLY), retries and the bucketed arm
+    * disabled (the aging victims are plain-table plans; the bucketed
+    * warehouse is also parent-session state a child must not rebuild),
+    * writing its line to a private temp file (SPARK_GRAFT_OUT) that is
+    * parsed with the same refTimes reader the artifacts already use. */
+  private def freshJvmMeasure(
+      name: String, timeoutMin: Long = 45): Option[Double] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+      .getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+          a.startsWith("-XX") || a.startsWith("--add-opens") ||
+          a.startsWith("--add-exports") || a.startsWith("--enable-native-access"))
+    val out = java.io.File.createTempFile(s"graft_fresh_$name", ".json")
+    val log = java.io.File.createTempFile(s"graft_fresh_$name", ".log")
+    val cmd = (Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+    val pb = new ProcessBuilder(cmd)
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_ONLY", name)
+    env.put("SPARK_GRAFT_NO_RETRY", "1")
+    env.put("SPARK_GRAFT_OUT", out.getAbsolutePath)
+    env.remove("SPARK_GRAFT_REF")
+    env.remove("SPARK_GRAFT_FRESH_JVM")
+    env.remove("SPARK_GRAFT_BUCKETED_BUCKETS")
+    env.remove("SPARK_GRAFT_EMIT_SAMPLES")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    try {
+      val proc = pb.start()
+      if (!proc.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)) {
+        proc.destroyForcibly(): Unit
+        System.err.println(
+          s"BENCH WARN fresh-JVM re-measure of $name timed out " +
+            s"(${timeoutMin}m); log: $log")
+        None
+      } else if (proc.exitValue() != 0) {
+        System.err.println(
+          s"BENCH WARN fresh-JVM re-measure of $name exited " +
+            s"${proc.exitValue()}; log: $log")
+        None
+      } else refTimes(out.getAbsolutePath).get(name)
+    } catch {
+      case e: Exception =>
+        System.err.println(
+          s"BENCH WARN fresh-JVM re-measure of $name failed: " +
+            s"${e.getClass.getName}: ${e.getMessage}; log: $log")
+        None
+    } finally { out.delete(); () }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -319,7 +410,7 @@ object Bench {
     val refConfig = sys.env.get("SPARK_GRAFT_REF").map { refPath =>
       (refTimes(refPath),
         sys.env.getOrElse("SPARK_GRAFT_REF_FACTOR", "2.0").toDouble,
-        refFloor(sfDir))
+        refFloor(sfDir, Some(refPath)))
     }
 
     // full-sweep bucketed-layout arm (r17, VERDICT r16 item 5):
@@ -438,6 +529,27 @@ object Bench {
       cands
     }.getOrElse(Seq.empty)
 
+    // automated fresh-JVM receipt (r18, VERDICT r17 item 3): opt-in via
+    // SPARK_GRAFT_FRESH_JVM=1 (forking a second full session is too
+    // expensive to be default-on at small SF). A ref-retried query whose
+    // min STILL exceeds factor × reference after the two re-samples, and
+    // whose re-samples ran with quiet JIT (< 1 s of compilation — active
+    // compilation would explain the slowness without aging), matches the
+    // r17-diagnosed C2-profile-pollution signature; its fresh-JVM number
+    // lands in the artifact as "fresh_jvm" so the outlier closure that
+    // took hand-run isolated re-measures in r16/r17 is mechanical.
+    val freshJvm: Map[String, Double] =
+      if (!sys.env.get("SPARK_GRAFT_FRESH_JVM").contains("1")) Map.empty
+      else refConfig.map { case (ref, factor, floor) =>
+        val staysSlow = refRetried.filter { n =>
+          !failed(n) && times(n) >= floor &&
+            ref.get(n).exists(r => times(n) > factor * r) &&
+            jvmTrips.get(n).exists(_.takeRight(2)
+              .forall(_.getOrElse("jit_ms", 0.0) < 1000.0))
+        }
+        staysSlow.flatMap(n => freshJvmMeasure(n).map(n -> _)).toMap
+      }.getOrElse(Map.empty)
+
     val calibPost = calibrate(spark, sfDir)
 
     // "queries" stays numeric-only (downstream parsers expect seconds);
@@ -496,13 +608,21 @@ object Bench {
     val bucketedJson = bucketed.map { case (buckets, buildSec) =>
       s""","bucketed":{"buckets":$buckets,"build_sec":${s4(buildSec)}}"""
     }.getOrElse("")
+    val freshJvmJson =
+      if (freshJvm.isEmpty) ""
+      else freshJvm.toSeq.sorted
+        .map { case (n, t) => "\"" + n + "\":" + s4(t) }
+        .mkString(""","fresh_jvm":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson$samplesJson$refRetriedJson$jvmTripsJson$bucketedJson,"calibration":$calibJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson$samplesJson$refRetriedJson$jvmTripsJson$freshJvmJson$bucketedJson,"calibration":$calibJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces copy for log-capture truncation: the same line, as
-    // a file next to the run
+    // a file next to the run; SPARK_GRAFT_OUT redirects it (the forked
+    // fresh-JVM child writes to a private temp file this way)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_last.json"), line + "\n")
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_last.json")),
+      line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

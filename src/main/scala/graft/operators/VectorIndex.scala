@@ -110,11 +110,27 @@ object VectorIndex {
       embIn: DataFrame, maxTrain: Int = MaxTrain): Array[Array[Float]] = {
     val emb = trainingSample(
       embIn.select(col("vec_id"), col("embedding")), maxTrain)
-    var centroids: Array[Array[Float]] = emb
+    val seeds: Array[Array[Float]] = emb
       .orderBy(col("vec_id"))
       .limit(K)
       .collect()
       .map(_.getSeq[Float](1).toArray)
+    lloydIterate(emb, seeds)
+  }
+
+  /** The Lloyd iteration loop from an EXPLICIT init over an
+    * already-sampled (vec_id, embedding) frame — the body [[trainLloyd]]
+    * always had, extracted (r18) so [[compactStore]]'s retrain can
+    * REFINE the k-means|| seeding: the storeHealth drift study measured
+    * MLlib's un-refined centers serving recall 0.56 on a corpus whose
+    * rotation-symmetry proves an 0.88-recall clustering exists — the
+    * distance-weighted init finds the right REGIONS (what retrain needs
+    * for out-of-distribution mass), and these fixed-point iterations
+    * then do the local convergence MLlib's own iterations left on the
+    * table at this seed. */
+  private[graft] def lloydIterate(
+      emb: DataFrame, init: Array[Array[Float]]): Array[Array[Float]] = {
+    var centroids = init
     emb.cache()
     try {
       for (_ <- 1 to Iters) {
@@ -366,7 +382,41 @@ object VectorIndex {
     * + diagnostics on line 2. */
   private def leaseContent(owner: String): String =
     s"$owner\nepoch=${java.util.UUID.randomUUID()} " +
-      s"ts=${java.time.Instant.now()} pid=${ProcessHandle.current().pid()}"
+      s"ts=${java.time.Instant.now()} pid=${ProcessHandle.current().pid()} " +
+      s"host=$localHost"
+
+  private lazy val localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "unknown" }
+
+  /** Batch owner kinds ([[newWriterOwner]]) — per-call leases with no
+    * successor: a crashed batch holder can never be legitimately
+    * re-acquired, so a PROVABLY dead one is safe to reap. Stream owners
+    * (`stream:<checkpoint>`) are deliberately excluded: their leak is
+    * the protection (only the same stream's replay may touch a
+    * half-committed append). */
+  private val batchOwnerKinds = Set("append", "delete", "compact", "recover")
+
+  /** True iff `held` is a batch-kind lease whose holder is PROVABLY dead:
+    * the lease was minted on THIS host (`host=` stamped since r18 —
+    * older leases without it are never reaped) and its pid no longer
+    * exists or is not alive. A live pid, a foreign host, a stream owner,
+    * or an unparseable line all answer false — the conservative manual
+    * [[breakWriterLease]] path remains for those. */
+  private def isProvablyDeadBatchHolder(held: String): Boolean = {
+    val owner = leaseOwnerOf(held)
+    val kind = owner.takeWhile(_ != ':')
+    if (!batchOwnerKinds.contains(kind)) return false
+    val meta = held.linesIterator.drop(1).nextOption().getOrElse("")
+    val kv = meta.split("\\s+").iterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    val sameHost = kv.get("host").contains(localHost)
+    val pid = kv.get("pid").flatMap(_.toLongOption)
+    sameHost && pid.exists { p =>
+      val h = ProcessHandle.of(p)
+      !h.isPresent || !h.get.isAlive
+    }
+  }
 
   private def readLease(
       spark: SparkSession, path: String): Option[String] = {
@@ -416,9 +466,18 @@ object VectorIndex {
     * content written if THIS call created the lease (the caller must
     * release it, by owner or exact content), None if `owner` already
     * holds it (reentrant — the outer holder releases). Throws if a
-    * different owner holds it. A create-fail whose read-back finds the
-    * lease GONE (the holder released in the race window) retries once —
-    * a free store must not report as locked. */
+    * different owner holds it — EXCEPT a provably-dead same-host BATCH
+    * holder (r18, VERDICT r17 item 2): a crashed batch writer has no
+    * successor, so its leaked lease bricked the store until a human ran
+    * [[breakWriterLease]]; the lease line carries pid+host, so when the
+    * holder kind is batch and its pid is dead on this host, acquisition
+    * reaps the stale lease with a loud log and retakes it. Stream
+    * holders are NEVER auto-reaped (their leak is deliberate — only the
+    * same stream's replay may touch a half-committed append). A
+    * create-fail whose read-back finds the lease GONE (the holder
+    * released in the race window) retries — a free store must not
+    * report as locked. Attempts are bounded so a pathological
+    * reap/recreate storm still terminates. */
   private[graft] def acquireWriterLease(
       spark: SparkSession, path: String, owner: String): Option[String] = {
     def rejected(holder: String): Nothing = throw new IllegalStateException(
@@ -427,7 +486,7 @@ object VectorIndex {
         "accounting); wait for the holder, or if it crashed, clear the " +
         "lease with VectorIndex.breakWriterLease")
     var attempt = 0
-    while (true) {
+    while (attempt < 5) {
       attempt += 1
       val content = leaseContent(owner)
       try {
@@ -438,21 +497,41 @@ object VectorIndex {
             _: java.nio.file.FileAlreadyExistsException =>
           readLease(spark, path) match {
             case Some(held) if leaseOwnerOf(held) == owner => return None
+            case Some(held) if isProvablyDeadBatchHolder(held) =>
+              // loud: an operator reading the log must see the judgment
+              // call that was made for them, and on what evidence
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"reaping writer lease on $path held by dead batch " +
+                  s"writer [${leaseOwnerOf(held)}] — same-host pid no " +
+                  "longer alive; retaking the lease")
+              releaseWriterLease(spark, path, leaseOwnerOf(held))
             case Some(held) => rejected(leaseOwnerOf(held) match {
               case "" => "unreadable/empty lease"
               case o => o
             })
-            case None if attempt < 2 => () // released mid-race: retry
+            case None if attempt < 5 => () // released mid-race: retry
             case None => rejected("unreadable lease (racing release?)")
           }
       }
     }
-    None // unreachable
+    rejected("lease kept reappearing across 5 acquisition attempts")
   }
 
   /** Release the lease if (and only if) `owner` holds it — idempotent,
     * and a lease broken and re-taken by someone else is never deleted
-    * by the old holder. */
+    * by the old holder.
+    *
+    * KNOWN WINDOW (documented per VERDICT r17 item 5): the guard is
+    * read-then-delete — a [[breakWriterLease]] + re-acquire landing
+    * between the read and the delete loses the NEW holder's lease (both
+    * release variants; no filesystem compare-and-delete exists to close
+    * it, and a rename-to-tombstone dance creates worse failure states
+    * when the rename-back collides with a third acquirer). The window is
+    * microseconds wide and only reachable through an OPERATOR-INITIATED
+    * break racing the very holder the operator just judged dead — the
+    * protocol itself never breaks a lease it doesn't hold (the r18
+    * auto-reap deletes only a lease whose pid is proven dead, which by
+    * construction cannot be mid-release). Accepted as residual risk. */
   private[graft] def releaseWriterLease(
       spark: SparkSession, path: String, owner: String): Unit =
     if (readLease(spark, path).exists(h => leaseOwnerOf(h) == owner))
@@ -472,7 +551,13 @@ object VectorIndex {
   /** Re-stamp an already-held (same-owner) lease with a fresh epoch and
     * return the new content — what a restarted stream does after a
     * reentrant acquire, so the previous incarnation's pending release
-    * can no longer match. Only valid while `owner` holds the lease. */
+    * can no longer match. Only valid while `owner` holds the lease.
+    * The re-stamp is an ATOMIC REPLACE (write-temp + rename over the
+    * lease path, r18, ADVICE r17): an in-place rewrite
+    * (truncate-then-write, or delete-then-create on non-posix) left a
+    * window where a concurrent reader saw an empty/absent lease — a
+    * racing acquirer was spuriously rejected as "unreadable/empty
+    * lease", or could even win a create against the restarting stream. */
   private[graft] def refreshWriterLease(
       spark: SparkSession, path: String, owner: String): String = {
     require(readLease(spark, path).exists(h => leaseOwnerOf(h) == owner),
@@ -480,12 +565,25 @@ object VectorIndex {
     val content = leaseContent(owner)
     val lp = leasePath(path)
     val uri = lp.toUri
-    if (Option(uri.getScheme).forall(_ == "file"))
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(uri.getPath), content): Unit
-    else {
-      val out = fs(spark).create(lp, true)
+    if (Option(uri.getScheme).forall(_ == "file")) {
+      val target = java.nio.file.Paths.get(uri.getPath)
+      val tmp = target.resolveSibling(
+        s"_writer_lease.tmp.${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.writeString(tmp, content)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(lp.getParent,
+        s"_writer_lease.tmp.${java.util.UUID.randomUUID()}")
+      val out = fs(spark).create(tmp, true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
+      // FileContext.rename(OVERWRITE) is the atomic-replace rename on
+      // HDFS-like filesystems (FileSystem.rename refuses an existing
+      // destination there); object stores are non-atomic either way —
+      // same caveat as every marker commit in this store.
+      org.apache.hadoop.fs.FileContext.getFileContext(lp.toUri,
+        spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, lp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     content
   }
@@ -998,12 +1096,33 @@ object VectorIndex {
     if (retrain) {
       // the resolved frame feeds both the trainer and the rewrite: cache
       // it so the k-means iterations don't re-fold the generations per
-      // pass. MLlib's k-means|| init (not the deterministic Lloyd) is
-      // deliberate here: retraining exists to give appended
-      // out-of-distribution clusters their own centroids, which needs
-      // distance-weighted seeding across the CURRENT data.
+      // pass. Retrain is MULTI-INIT (r18): neither seeding wins
+      // everywhere — k-means||'s distance-weighted init is what lets
+      // appended out-of-distribution clusters claim their own centroids
+      // (smallest-id seeds can't split mass they never saw), but the
+      // storeHealth drift study measured it serving recall 0.56 on a
+      // turned-over corpus whose rotation-symmetry proves the
+      // deterministic seeding's 0.88 clustering exists. So retrain
+      // trains BOTH candidates over the same bounded sample — the
+      // deterministic Lloyd and the ML init refined by the same
+      // fixed-point iterations — and keeps the lower quantized
+      // distortion (an order-independent integer sum; ties prefer the
+      // deterministic candidate). Cost: two bounded trainer towers on a
+      // rare maintenance op.
       live.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c = trainMLFrame(live.select(col("v.embedding").as("embedding")))
+      val emb = live.select(col("vec_id"), col("v.embedding").as("embedding"))
+      val sample = trainingSample(emb, MaxTrain)
+      val candDet = trainLloyd(sample)
+      val candMl = lloydIterate(sample,
+        trainMLFrame(sample.select(col("embedding"))))
+      def distortion(cand: Array[Array[Float]]): Long = sample
+        .select(floor(pow(
+          IndexFunctions.nearestCentroid(col("embedding"), cand)
+            .getField("dist") * IndexOps.QScale, 2) + 0.5)
+          .cast("long").as("d2"))
+        .agg(sum(col("d2"))).collect().head.getLong(0)
+      val c = if (distortion(candDet) <= distortion(candMl)) candDet
+              else candMl
       writeModelTable(spark, s"$path/centroids_retrain", IvfLayout, c)
       rewriteAndSwap(spark, path, IvfLayout, live, c, stagedModel = true)
     } else
@@ -1577,6 +1696,100 @@ object VectorIndex {
       batchIvfPqSearchStore(spark, sfDir, nQueries, k, nprobe, fetchK)
         .select(col("query_id"), col("vec_id")),
       k)
+
+  /** Store-health report (r18, VERDICT r17 item 6) — the consumer the
+    * four `ann_eval*` measurements were missing: recall@k of the pruned
+    * IVF probe vs the exact scan over the SAME live store rows, judged
+    * against a pinned floor, with the REMEDY in the row. The reference
+    * operator's "index degraded — rebuild" signal: a corpus that drifted
+    * away from the trained centroids (heavy out-of-distribution appends
+    * under the frozen assignment model) scatters each drifted cluster
+    * across many partitions — every member lands on whichever base
+    * centroid is marginally nearest — so a drifted query's nprobe-pruned
+    * probe misses most of its true neighbors, and the fix is
+    * [[compactStore]]`(retrain = true)` (re-balance the partition layout
+    * to the data actually in the store). One row:
+    * (n_queries, k, nprobe, mean_recall, min_recall, recall_floor,
+    * healthy, recommendation).
+    *
+    * `queryIds` selects the probe queries from the live store; empty
+    * picks the lowest-id rows (a deterministic baseline). DRIFT
+    * detection needs drifted queries — pass ids from the most recent
+    * appends (the tools harness picks ids of the store's highest
+    * generation): in-distribution queries keep high recall under drift
+    * because their neighborhoods sit in well-probed base partitions —
+    * it is the fresh data whose retrieval silently degrades. */
+  /** Lowest `n` live vec_ids of the store's NEWEST generation — the
+    * default drift probes for [[storeHealth]] callers (the freshest
+    * appends are the rows whose retrieval degrades under drift; see the
+    * report doc). On a compacted (single-gen) store this is simply the
+    * lowest-id live rows. */
+  private[graft] def newestGenIds(
+      spark: SparkSession, path: String, n: Int): Seq[Long] = {
+    val baseAll = spark.read.parquet(s"$path/vectors")
+    val all =
+      if (hasDelta(spark, path))
+        baseAll.unionByName(deltaFrame(spark, path, baseAll.schema))
+      else baseAll
+    val maxGen = all.agg(max(col("gen"))).collect().head.getLong(0)
+    all.where(col("gen") === maxGen && !col("deleted"))
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(n)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  def storeHealth(
+      spark: SparkSession,
+      path: String,
+      queryIds: Seq[Long] = Seq.empty,
+      nQueries: Int = 5,
+      k: Int = 5,
+      nprobe: Int = 4,
+      recallFloor: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val centroids = readModel(spark, path, IvfLayout)
+    val live = resolvedPartitions(spark, path, IvfLayout,
+      centroids.indices, None).persist()
+    try {
+      val qSrc =
+        if (queryIds.nonEmpty) live.where(col("vec_id").isin(queryIds: _*))
+        else live.orderBy(col("vec_id")).limit(nQueries)
+      val queries = qSrc.select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1).take(nQueries)
+      require(queries.nonEmpty, s"storeHealth: no live query rows in $path")
+      val queryDf = queries.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("query_id", "query_vec")
+      val exact = KnnSearch.perQueryTopK(
+        live.crossJoin(broadcast(queryDf))
+          .select(col("query_id"), col("vec_id"),
+            round(graft.functions.VectorFunctions.cosineSim(
+              col("embedding"), col("query_vec")), 4).as("score")),
+        k).select(col("query_id"), col("vec_id"))
+      val probePairs = queries.toSeq.flatMap { case (qid, qv) =>
+        nearestCentroidIds(centroids, qv, nprobe).map(p => (qid, p, qv.toSeq))
+      }
+      val probeDf = probePairs.toDF("query_id", "p_c", "query_vec")
+      val approx = KnnSearch.perQueryTopK(
+        resolvedPartitions(spark, path, IvfLayout,
+          probePairs.map(_._2).distinct, None)
+          .join(broadcast(probeDf), col("centroid_id") === col("p_c"))
+          .select(col("query_id"), col("vec_id"),
+            round(graft.functions.VectorFunctions.cosineSim(
+              col("embedding"), col("query_vec")), 4).as("score")),
+        k).select(col("query_id"), col("vec_id"))
+      // materialize the one summary row BEFORE the finally unpersists the
+      // live frame the lazy plan would otherwise still reference
+      val s = recallSummary(exact, approx, k).collect().head
+      val meanRecall = s.getDouble(2)
+      val healthy = meanRecall >= recallFloor
+      Seq((s.getLong(0), k, nprobe, meanRecall, s.getDouble(3),
+        recallFloor, healthy,
+        if (healthy) "none" else "compactStore(retrain = true)"))
+        .toDF("n_queries", "k", "nprobe", "mean_recall", "min_recall",
+          "recall_floor", "healthy", "recommendation")
+    } finally { live.unpersist(); () }
+  }
 
   /** IVF-PQ search through the materialized store — the classic pairing
     * (Jégou et al., TPAMI'11) the quantized-index family is built on:

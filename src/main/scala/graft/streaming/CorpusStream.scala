@@ -192,14 +192,15 @@ object CorpusStream {
       startGen: Long = graft.streaming.StoreStream.AutoGen,
       minQuality: Double = 0.5,
       maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
-    val base = graft.streaming.StoreStream.durableStartGen(
-      spark, storePath, checkpointDir, startGen)
     // single-writer lease for the stream's lifetime (r17) — the shared
     // start protocol in StoreStream: a concurrent batch writer against
-    // the ingesting store fails fast instead of corrupting gen accounting
+    // the ingesting store fails fast instead of corrupting gen
+    // accounting; the base gen is resolved INSIDE the protocol, under
+    // the lease (r18, ADVICE r17 medium — resolving it before the lease
+    // let a racing batch append poison the recorded base)
     val owner = graft.streaming.StoreStream.streamOwner(checkpointDir)
     graft.streaming.StoreStream.startLeasedIngest(
-      spark, storePath, checkpointDir) {
+      spark, storePath, checkpointDir, startGen) { base =>
       fileSource(spark, streamDir,
         graft.streaming.StoreStream.textSchema, maxFilesPerTrigger)
         .writeStream

@@ -63,37 +63,75 @@ object StoreStream {
     * Cross-process same-checkpoint double-starts remain the operator's
     * contract violation — Spark itself corrupts the checkpoint there. */
   private val activeStreams =
-    new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** The shared stream-start protocol for every leased ingest path
     * (StoreStream.ingest/ingestLsh/ingestTexts, CorpusStream
-    * .ingestPipeline): refuse a live same-session duplicate; acquire the
-    * store lease (a reentrant acquire — crashed or stopped predecessor —
-    * is re-stamped with a fresh epoch so the predecessor's still-pending
-    * termination release can no longer match); release on a failed
-    * start; otherwise release-by-exact-content when the query
-    * terminates. One home for the protocol — the r17 review found the
-    * three hand-rolled copies had already diverged into a bug (the
-    * failed-start release ran even for reentrant acquires). */
+    * .ingestPipeline): atomically reserve the owner slot (two concurrent
+    * same-session starts on one checkpoint must not BOTH pass the
+    * duplicate check — the loser would re-stamp the live winner's lease
+    * epoch and its failed-start release would then delete the lease
+    * under the running query, ADVICE r17); acquire the store lease (a
+    * reentrant acquire — crashed or stopped predecessor — is re-stamped
+    * with a fresh epoch so the predecessor's still-pending termination
+    * release can no longer match); resolve the durable base gen UNDER
+    * THE LEASE (resolving before it, as r17 shipped, let an AutoGen
+    * first start race an in-flight batch append: nextGen could equal the
+    * append's gen, the marker survived the lease-rejected start, and the
+    * retried stream's batch 0 was then silently dropped by the genExists
+    * replay receipt — data loss, ADVICE r17 medium); release lease +
+    * reservation on a failed start, deleting a marker the FAILED start
+    * itself just created (no batch can have committed — the query never
+    * started — and a surviving marker would pin a base some batch writer
+    * may legitimately consume before the retry); otherwise
+    * release-by-exact-content when the query terminates. One home for
+    * the protocol — the r17 review found the three hand-rolled copies
+    * had already diverged into a bug. */
   private[graft] def startLeasedIngest(
-      spark: SparkSession, storePath: String, checkpointDir: String)(
-      build: => StreamingQuery): StreamingQuery = {
+      spark: SparkSession, storePath: String, checkpointDir: String,
+      startGen: Long)(
+      build: Long => StreamingQuery): StreamingQuery = {
     val owner = streamOwner(checkpointDir)
-    val prior = activeStreams.get(owner)
-    if (prior != null && prior.isActive)
+    // atomic reservation: claim the slot before touching the lease; a
+    // unique token per call distinguishes "I reserved" from "someone
+    // else holds it" (live query OR another start mid-flight)
+    val token = new Object
+    val winner = activeStreams.compute(owner, (_, prior) => prior match {
+      case null => token
+      case q: StreamingQuery if !q.isActive => token
+      case other => other // live query, or a concurrent start's token
+    })
+    if (winner ne token)
       throw new IllegalStateException(
-        s"a stream on checkpoint $checkpointDir is already active in this " +
-          "session — stop it (and await termination) before restarting")
-    val content = VectorIndex.acquireWriterLease(spark, storePath, owner)
-      .getOrElse(VectorIndex.refreshWriterLease(spark, storePath, owner))
-    val query =
-      try build
+        s"a stream on checkpoint $checkpointDir is already active (or " +
+          "starting) in this session — stop it (and await termination) " +
+          "before restarting")
+    val content =
+      try VectorIndex.acquireWriterLease(spark, storePath, owner)
+        .getOrElse(VectorIndex.refreshWriterLease(spark, storePath, owner))
       catch {
         case t: Throwable =>
-          VectorIndex.releaseWriterLeaseExact(spark, storePath, content)
+          activeStreams.remove(owner, token)
           throw t
       }
-    activeStreams.put(owner, query)
+    val query =
+      try {
+        val (base, createdMarker) =
+          durableStartGenWithReceipt(spark, storePath, checkpointDir,
+            startGen)
+        try build(base)
+        catch {
+          case t: Throwable =>
+            if (createdMarker) deleteBaseGenMarker(spark, checkpointDir)
+            throw t
+        }
+      } catch {
+        case t: Throwable =>
+          VectorIndex.releaseWriterLeaseExact(spark, storePath, content)
+          activeStreams.remove(owner, token)
+          throw t
+      }
+    activeStreams.replace(owner, token, query): Unit
     releaseOnTermination(spark, storePath, owner, content, query)
     query
   }
@@ -173,7 +211,28 @@ object StoreStream {
     * the same mapping). */
   private[graft] def durableStartGen(
       spark: SparkSession, storePath: String, checkpointDir: String,
-      startGen: Long): Long = {
+      startGen: Long): Long =
+    durableStartGenWithReceipt(spark, storePath, checkpointDir, startGen)._1
+
+  /** Delete the base-gen marker — ONLY sound from the failed-start path
+    * for a marker that same start just created (the query never started,
+    * so no batch committed under the recorded base; leaving it behind
+    * would pin a base a batch writer may legitimately consume before the
+    * stream retries — the exact poisoned-marker shape the lease-first
+    * ordering exists to prevent). */
+  private def deleteBaseGenMarker(
+      spark: SparkSession, checkpointDir: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "graft_base_gen"),
+      false): Unit
+  }
+
+  /** [[durableStartGen]] plus a receipt: `_2` is true iff THIS call
+    * created the marker (first start) — the failed-start cleanup key. */
+  private[graft] def durableStartGenWithReceipt(
+      spark: SparkSession, storePath: String, checkpointDir: String,
+      startGen: Long): (Long, Boolean) = {
     val dir = new org.apache.hadoop.fs.Path(checkpointDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(dir, "graft_base_gen")
@@ -191,7 +250,7 @@ object StoreStream {
             "gen-of-batchId mapping mid-checkpoint would double-append " +
             "crash-window replays — restart with AutoGen (or the recorded " +
             "base), or wipe the checkpoint to re-ingest from scratch")
-      recorded
+      (recorded, false)
     } else {
       val hasProgress = Seq("commits", "offsets").exists(d =>
         fs.exists(new org.apache.hadoop.fs.Path(dir, d)))
@@ -225,7 +284,7 @@ object StoreStream {
             s"wrote $base — a concurrent first-start against the same " +
             "checkpoint won the rename race; restart (the recorded value " +
             "now rules this checkpoint)")
-      base
+      (base, true)
     }
   }
 
@@ -306,9 +365,8 @@ object StoreStream {
       storePath: String,
       checkpointDir: String,
       startGen: Long = AutoGen): StreamingQuery = {
-    val base = durableStartGen(spark, storePath, checkpointDir, startGen)
     val owner = streamOwner(checkpointDir)
-    startLeasedIngest(spark, storePath, checkpointDir) {
+    startLeasedIngest(spark, storePath, checkpointDir, startGen) { base =>
       spark.readStream
         .schema(textSchema)
         .json(dir)
@@ -330,9 +388,8 @@ object StoreStream {
       checkpointDir: String,
       appendAs: String => (SparkSession, DataFrame, Long) => Unit)
       : StreamingQuery = {
-    val base = durableStartGen(spark, storePath, checkpointDir, startGen)
     val append = appendAs(streamOwner(checkpointDir))
-    startLeasedIngest(spark, storePath, checkpointDir) {
+    startLeasedIngest(spark, storePath, checkpointDir, startGen) { base =>
       spark.readStream
         .schema(vecSchema)
         .json(dir)

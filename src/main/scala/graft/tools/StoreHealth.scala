@@ -1,0 +1,51 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.VectorIndex
+
+/** Store-health report runner (r18, VERDICT r17 item 6) — the operational
+  * consumer of the `ann_eval*` recall measurements: runs
+  * [[VectorIndex.storeHealth]] against a materialized IVF store and
+  * prints ONE JSON line with the recall-vs-floor verdict and the remedy
+  * (`compactStore(retrain = true)`) when the index has drifted below the
+  * pinned floor — the reference operator's "index degraded — rebuild"
+  * signal, as a report instead of a silent metric.
+  *
+  * Queries default to the lowest-id live rows of the store's NEWEST
+  * generation: under drift it is the freshest appends whose retrieval
+  * silently degrades (in-distribution rows keep well-probed partitions),
+  * so the health probe samples where the risk is.
+  *
+  * Usage: StoreHealth <storePath> [recallFloor]
+  * (env: SPARK_GRAFT_CPUS, SPARK_GRAFT_NPROBE, SPARK_GRAFT_K)
+  *
+  * End-to-end behavior (degrade → recommend → retrain → recover) is
+  * pinned by the storeHealth case in StoreSearchSpec. */
+object StoreHealth {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: StoreHealth <storePath> [recallFloor]")
+    val path = args(0)
+    val floor = if (args.length > 1) args(1).toDouble else 0.8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val nprobe = sys.env.getOrElse("SPARK_GRAFT_NPROBE", "4").toInt
+    val k = sys.env.getOrElse("SPARK_GRAFT_K", "5").toInt
+    val spark = GraftSession.local(cpus)
+    try {
+      val ids = VectorIndex.newestGenIds(spark, path, 5)
+      val r = VectorIndex.storeHealth(spark, path, queryIds = ids,
+        k = k, nprobe = nprobe, recallFloor = floor).collect().head
+      def s4(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      println(
+        s"""{"metric":"store_health","store":"$path"""" +
+          s""","query_ids":[${ids.mkString(",")}]""" +
+          s""","n_queries":${r.getLong(0)},"k":${r.getInt(1)}""" +
+          s""","nprobe":${r.getInt(2)}""" +
+          s""","mean_recall":${s4(r.getDouble(3))}""" +
+          s""","min_recall":${s4(r.getDouble(4))}""" +
+          s""","recall_floor":${s4(r.getDouble(5))}""" +
+          s""","healthy":${r.getBoolean(6)}""" +
+          s""","recommendation":"${r.getString(7)}"}""")
+    } finally spark.stop()
+  }
+}

@@ -156,6 +156,62 @@ class StoreSearchSpec extends SparkSpec {
       s"shifted probe should hit the +10 cluster: ${hits.mkString(",")}")
   }
 
+  test("storeHealth detects drift-degraded recall, recommends retrain, and retrain restores it") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("store_health").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+
+    // healthy baseline: in-distribution queries over the fresh store
+    val before = VectorIndex.storeHealth(spark, path, nprobe = 2).collect().head
+    assert(before.getAs[Boolean]("healthy"),
+      s"fresh store reports unhealthy: $before")
+    assert(before.getAs[String]("recommendation") == "none")
+
+    // drift: corpus TURNOVER — the base rows tombstoned, a corpus whose
+    // internal similarity structure the frozen centroids know nothing
+    // about ingested in their place (the base embeddings coordinate-
+    // REVERSED: a rotation, so every pairwise similarity among the new
+    // rows is preserved and they keep a real, clusterable neighborhood
+    // structure — but their positions are decorrelated from the trained
+    // centroids, scattering each neighborhood across partitions). A
+    // merely SHIFTED cluster stays position-coherent and lands in one
+    // partition — pruned recall survives that; rotation is the drift
+    // shape that actually degrades it. Turnover (not coexistence) is
+    // also what retrain can genuinely FIX: K centroids re-fit the live
+    // corpus alone, restoring fresh-store recall.
+    val base = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val baseIds = base.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val drifted = base
+      .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+        reverse(col("embedding")).as("embedding"))
+    VectorIndex.deleteFromStore(spark, path, baseIds, gen = 1L)
+    VectorIndex.appendStore(spark, path, drifted, gen = 2L)
+
+    // drift detection probes with DRIFTED queries (ids from the fresh
+    // appends — the report doc's contract: in-distribution queries keep
+    // high recall under drift, it is the fresh data whose retrieval
+    // silently degrades)
+    val driftIds = Seq(10000L, 10001L, 10002L, 10003L, 10004L)
+    val degraded = VectorIndex.storeHealth(spark, path,
+      queryIds = driftIds, nprobe = 2).collect().head
+    assert(!degraded.getAs[Boolean]("healthy"),
+      s"drifted store reports healthy: $degraded")
+    assert(degraded.getAs[String]("recommendation") ==
+      "compactStore(retrain = true)")
+
+    // apply the recommended remedy; the SAME drifted queries recover
+    VectorIndex.compactStore(spark, path, retrain = true)
+    val restored = VectorIndex.storeHealth(spark, path,
+      queryIds = driftIds, nprobe = 2).collect().head
+    assert(restored.getAs[Boolean]("healthy"),
+      s"retrain did not restore recall: $restored")
+    assert(restored.getAs[Double]("mean_recall") >
+      degraded.getAs[Double]("mean_recall"))
+    assert(restored.getAs[String]("recommendation") == "none")
+  }
+
   test("batch store probe equals per-query store probes; one scan, broadcast probe table") {
     import org.apache.spark.sql.functions.col
     val batch = VectorIndex.batchIvfSearchStore(spark, sfDir)

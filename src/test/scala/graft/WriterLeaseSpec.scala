@@ -122,6 +122,164 @@ class WriterLeaseSpec extends SparkSpec {
     assert(!Files.exists(leaseFile(store)))
   }
 
+  private def localHost: String =
+    java.net.InetAddress.getLocalHost.getHostName
+
+  /** Manufacture a lease file as a crashed writer would leave it: the
+    * owner line plus the pid/host diagnostics line acquisition parses. */
+  private def plantLease(
+      store: String, owner: String, pid: Long, host: String): Unit =
+    Files.writeString(leaseFile(store),
+      s"$owner\nepoch=test-epoch ts=2026-08-16T00:00:00Z pid=$pid host=$host")
+
+  /** A pid that provably belonged to a real process on this host and is
+    * now dead — the kill -9'd batch holder of VERDICT r17 item 2. */
+  private def killedPid(): Long = {
+    val p = new ProcessBuilder("sleep", "1000").start()
+    val pid = p.pid()
+    p.destroyForcibly()
+    p.waitFor()
+    pid
+  }
+
+  test("acquisition auto-reaps a provably-dead same-host batch holder") {
+    val store = Files.createTempDirectory("lease_reap").toString
+    VectorIndex.writeStore(spark, sfDir, store)
+    val pid = killedPid()
+    plantLease(store, s"append:pid=$pid:dead-uuid", pid, localHost)
+    // the r17 behavior this replaces: bricked until breakWriterLease.
+    // Now the next batch writer reaps the dead holder and proceeds.
+    VectorIndex.appendStore(spark, store, vecBatch(6100000L), gen = 1L)
+    assert(VectorIndex.genExists(spark, store, 1L))
+    assert(!Files.exists(leaseFile(store)),
+      "reaping writer left its own per-call lease behind")
+  }
+
+  test("auto-reap refuses: live pid, stream owner, foreign host, no host") {
+    val store = Files.createTempDirectory("lease_noreap").toString
+    VectorIndex.writeStore(spark, sfDir, store)
+    def rejectedWith(owner: String, pid: Long, host: String): Unit = {
+      plantLease(store, owner, pid, host)
+      val e = intercept[IllegalStateException](
+        VectorIndex.appendStore(spark, store, vecBatch(6200000L), gen = 9L))
+      assert(e.getMessage.contains("breakWriterLease"))
+      VectorIndex.breakWriterLease(spark, store)
+    }
+    // a LIVE batch holder (this JVM's pid) is a running writer, not debris
+    rejectedWith(s"append:pid=${ProcessHandle.current().pid()}:live",
+      ProcessHandle.current().pid(), localHost)
+    // a dead STREAM holder is deliberate leakage: only the same stream's
+    // replay may touch a half-committed append — never reaped
+    val dead = killedPid()
+    rejectedWith(s"stream:/ck/crashed", dead, localHost)
+    // a foreign host's pid space proves nothing about liveness
+    rejectedWith(s"compact:pid=$dead:foreign", dead, "some-other-host")
+    // a pre-r18 lease without a host stamp is never reaped
+    Files.writeString(leaseFile(store),
+      s"delete:pid=$dead:old\nepoch=test ts=now pid=$dead")
+    intercept[IllegalStateException](
+      VectorIndex.appendStore(spark, store, vecBatch(6200000L), gen = 9L))
+    VectorIndex.breakWriterLease(spark, store)
+  }
+
+  test("a stream start rejected by a held lease records NO base-gen marker") {
+    // the ADVICE r17 medium ordering bug: base resolved (and durably
+    // recorded) BEFORE the lease meant a start rejected by an in-flight
+    // batch append left a marker whose base that append then consumed —
+    // the retried stream's batch 0 was silently dropped by the replay
+    // receipt. Lease-first: a rejected start must leave no marker.
+    val store = Files.createTempDirectory("lease_order_store").toString
+    VectorIndex.writeStore(spark, sfDir, store)
+    val dir = Files.createTempDirectory("lease_order_src").toString
+    vecBatch(6300000L).write.mode("overwrite").json(dir)
+    val ckpt = Files.createTempDirectory("lease_order_ck").toString
+    // a live batch writer holds the lease (this JVM's pid: not reapable)
+    val holder = s"append:pid=${ProcessHandle.current().pid()}:inflight"
+    assert(VectorIndex.acquireWriterLease(spark, store, holder).isDefined)
+    intercept[IllegalStateException](
+      StoreStream.ingest(spark, dir, store, ckpt))
+    assert(!Files.exists(Paths.get(s"$ckpt/graft_base_gen")),
+      "a lease-rejected stream start durably recorded a base gen")
+    VectorIndex.releaseWriterLease(spark, store, holder)
+    // the batch append commits the gen the rejected start would have
+    // recorded as base; the retried stream must still ingest batch 0
+    val consumed = VectorIndex.nextGen(spark, store)
+    VectorIndex.appendStore(spark, store, vecBatch(6400000L), gen = consumed)
+    val q = StoreStream.ingest(spark, dir, store, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    q.awaitTermination()
+    assert(VectorIndex.genExists(spark, store, consumed + 1),
+      "retried stream's batch 0 was dropped by a poisoned base gen")
+  }
+
+  test("a failed first start deletes the marker it created; a restart's failure keeps the existing one") {
+    val store = Files.createTempDirectory("lease_marker_store").toString
+    VectorIndex.writeStore(spark, sfDir, store)
+    val ckpt = Files.createTempDirectory("lease_marker_ck").toString
+    val marker = Paths.get(s"$ckpt/graft_base_gen")
+    // first start: build fails AFTER the marker commit → cleaned up
+    intercept[RuntimeException](
+      StoreStream.startLeasedIngest(spark, store, ckpt.toString,
+        StoreStream.AutoGen) { _ => throw new RuntimeException("boom") })
+    assert(!Files.exists(marker),
+      "failed first start left its freshly-created marker behind")
+    assert(!Files.exists(leaseFile(store)),
+      "failed start left the writer lease behind")
+    // a real first start records the marker; a LATER failed start (the
+    // restart shape) must not delete a marker it did not create — batches
+    // may have committed under it
+    val dir = Files.createTempDirectory("lease_marker_src").toString
+    vecBatch(6500000L).write.mode("overwrite").json(dir)
+    val q = StoreStream.ingest(spark, dir, store, ckpt.toString)
+    try q.processAllAvailable() finally q.stop()
+    q.awaitTermination()
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (Files.exists(leaseFile(store)) && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val recorded = Files.readString(marker).trim
+    intercept[RuntimeException](
+      StoreStream.startLeasedIngest(spark, store, ckpt.toString,
+        StoreStream.AutoGen) { _ => throw new RuntimeException("boom") })
+    assert(Files.exists(marker) && Files.readString(marker).trim == recorded,
+      "failed restart deleted (or rewrote) a marker with committed batches")
+  }
+
+  test("a concurrent start mid-flight is rejected by the slot reservation") {
+    // the ADVICE r17 check-then-act race, made deterministic: the second
+    // start arrives while the first is still BUILDING (reservation
+    // placed, query not yet registered). It must be rejected without
+    // touching the first start's lease or marker.
+    val store = Files.createTempDirectory("lease_race_store").toString
+    VectorIndex.writeStore(spark, sfDir, store)
+    val dir = Files.createTempDirectory("lease_race_src").toString
+    vecBatch(6600000L).write.mode("overwrite").json(dir)
+    val ckpt = Files.createTempDirectory("lease_race_ck").toString
+    var innerRejected = false
+    val q = StoreStream.startLeasedIngest(spark, store, ckpt, StoreStream.AutoGen) { base =>
+      innerRejected =
+        try {
+          StoreStream.startLeasedIngest(spark, store, ckpt,
+            StoreStream.AutoGen) { _ => fail("loser start must not build") }
+          false
+        } catch { case _: IllegalStateException => true }
+      assert(Files.exists(leaseFile(store)),
+        "rejected concurrent start tore down the winner's lease mid-build")
+      spark.readStream.schema(StoreStream.vecSchema).json(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          StoreStream.ingestVecBatch(b.sparkSession, store, b, base + id,
+            (s, df, g) => VectorIndex.appendStoreAs(s, store, df, g,
+              StoreStream.streamOwner(ckpt)))
+        }
+        .start()
+    }
+    try {
+      assert(innerRejected, "concurrent mid-build start was not rejected")
+      q.processAllAvailable()
+    } finally q.stop()
+    q.awaitTermination()
+  }
+
   test("breakWriterLease un-bricks a store whose holder crashed") {
     val store = Files.createTempDirectory("lease_break").toString
     VectorIndex.writeStore(spark, sfDir, store)
