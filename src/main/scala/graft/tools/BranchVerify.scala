@@ -71,9 +71,15 @@ object BranchVerify {
     * single-gen store, in chunks of `chunk` ids — each chunk a
     * (delete, append) generation pair. Content-preserving by
     * construction; returns the number of generations written. */
+  /** Chunk size: ids per (delete, append) generation pair. Smaller →
+    * deeper generation stacks and more delta files per probe (a harder
+    * resolution state); SPARK_GRAFT_CHURN_CHUNK overrides. */
+  private def churnChunk: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CHURN_CHUNK", "2000").toInt
+
   private def churn(
-      spark: SparkSession, path: String, isLsh: Boolean,
-      chunk: Int = 2000): Long = {
+      spark: SparkSession, path: String, isLsh: Boolean): Long = {
+    val chunk = churnChunk
     val live = spark.read.parquet(s"$path/vectors")
       .where(!col("deleted"))
       .select(col("vec_id"), col("label"), col("embedding"), col("metadata"))

@@ -77,4 +77,17 @@ run /tmp/r18_local_sf01.log bench/r18_local_sf01.json \
   SPARK_GRAFT_REF=bench/r17_local_sf01.json \
   -- graft.Bench
 
+# 4. sf100 lifecycle refresh — the retrain-on-compact price changed this
+#    round (multi-init: two bounded trainer towers + two distortion scans
+#    instead of one k-means|| tower); re-price ivf_compact_retrain against
+#    bench/r17_lifecycle_sf100.json. LifecycleBench prints its line to
+#    stdout only, so capture from the log, not BENCH_last.json.
+echo "=== $(date -u +%H:%M:%S) start lifecycle_sf100" >> /tmp/r18_chain.log
+env SPARK_GRAFT_SF_DIR=/tmp/sf100 SPARK_GRAFT_CPUS=32 \
+  java -Xmx64g $JAVA_FLAGS -cp "$CP" graft.tools.LifecycleBench \
+  > /tmp/r18_lifecycle_sf100.log 2>&1
+grep -o '{"metric".*' /tmp/r18_lifecycle_sf100.log | tail -1 \
+  > bench/r18_lifecycle_sf100.json
+echo "=== $(date -u +%H:%M:%S) done  lifecycle_sf100 rc=$?" >> /tmp/r18_chain.log
+
 echo "=== $(date -u +%H:%M:%S) CHAIN COMPLETE" >> /tmp/r18_chain.log
