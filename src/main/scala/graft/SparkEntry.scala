@@ -167,6 +167,7 @@ object SparkEntry {
     "knn_batch_ivf_pq" -> ((s, d) => VectorIndex.batchIvfPqSearchStore(s, d)),
     "store_get" -> ((s, d) => VectorIndex.storeGet(s, d)),
     "ann_eval" -> ((s, d) => VectorIndex.annEval(s, d)),
+    "store_health" -> ((s, d) => VectorIndex.storeHealthReport(s, d)),
     "ann_eval_lsh" -> ((s, d) => VectorIndex.annEvalLsh(s, d)),
     "ann_eval_pq" -> ((s, d) => VectorIndex.annEvalPq(s, d)),
     "ann_eval_ivf_pq" -> ((s, d) => VectorIndex.annEvalIvfPq(s, d)),
@@ -2359,6 +2360,62 @@ object SparkEntry {
     "ann_eval" ->
       (s"WITH $ivfModelCtes,\n" + batchIvfCtes + ",\n" +
         recallOracleTail),
+    // the store-health report (r18): ann_eval's recall replay with the
+    // health probe's SELF-INCLUSIVE contract (the queries ARE store
+    // rows — no query/candidate exclusion on either side), closed with
+    // the floor verdict and the remedy literal. The rounded mean drives
+    // the verdict on both sides, so Spark and DuckDB flip healthy at
+    // exactly the same corpus.
+    "store_health" ->
+      (s"WITH $ivfModelCtes,\n" +
+        """qd AS (
+          |  SELECT e.vec_id AS query_id, c.cid, sum((c.cq - e.q) * (c.cq - e.q)) AS dd
+          |  FROM eq e JOIN c5 c USING (dim)
+          |  WHERE e.vec_id < 5 GROUP BY 1, 2),
+          |qprobes AS (
+          |  SELECT query_id, cid FROM (
+          |    SELECT query_id, cid,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY dd, cid) AS rn
+          |    FROM qd) WHERE rn <= 4),
+          |sc AS (
+          |  SELECT p.query_id, e.vec_id,
+          |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
+          |  FROM fa f
+          |  JOIN qprobes p ON f.cid = p.cid
+          |  JOIN embeddings e ON e.vec_id = f.vec_id
+          |  JOIN embeddings q ON q.vec_id = p.query_id),
+          |ap AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          |    FROM sc) WHERE rn <= 5),
+          |ex AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          |    FROM (
+          |      SELECT q.vec_id AS query_id, e.vec_id,
+          |        ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
+          |      FROM embeddings e CROSS JOIN embeddings q
+          |      WHERE q.vec_id < 5))
+          |  WHERE rn <= 5),
+          |h AS (
+          |  SELECT ex.query_id, count(*) AS n_hit
+          |  FROM ex JOIN ap USING (query_id, vec_id) GROUP BY 1),
+          |pr AS (
+          |  SELECT q.query_id, coalesce(h.n_hit, 0) / 5.0 AS recall
+          |  FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h USING (query_id)),
+          |agg AS (
+          |  SELECT count(*) AS n_queries,
+          |    FLOOR(avg(recall) * 10000 + 0.5) / 10000.0 AS mean_recall,
+          |    FLOOR(min(recall) * 10000 + 0.5) / 10000.0 AS min_recall
+          |  FROM pr)
+          |SELECT n_queries, 5 AS k, 4 AS nprobe, mean_recall, min_recall,
+          |  CAST(0.8 AS DOUBLE) AS recall_floor,
+          |  mean_recall >= 0.8 AS healthy,
+          |  CASE WHEN mean_recall >= 0.8 THEN 'none'
+          |       ELSE 'compactStore(retrain = true)' END AS recommendation
+          |FROM agg""".stripMargin),
     // the PQ family replayed end to end: per-subspace fixed-point Lloyd
     // (pqModelCtes), then — for the search — the integer ADC LUT and the
     // exact re-rank of the top-fetchK candidates

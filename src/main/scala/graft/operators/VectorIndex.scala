@@ -1737,6 +1737,16 @@ object VectorIndex {
       .collect().map(_.getLong(0)).toSeq
   }
 
+  /** Graded corpus entry point for [[storeHealth]] — the health report
+    * over the session's materialized corpus store with the default
+    * probes (lowest-id live rows, k = 5, nprobe = 4, floor 0.8). The
+    * oracle replays the centroid training, the per-query probe sets,
+    * the pruned-scan recall against the exact top-k (self-inclusive —
+    * unlike ann_eval, the health probe queries ARE store rows), and the
+    * floor verdict with the remedy literal. */
+  def storeHealthReport(spark: SparkSession, sfDir: String): DataFrame =
+    storeHealth(spark, ensureStore(spark, sfDir))
+
   def storeHealth(
       spark: SparkSession,
       path: String,
