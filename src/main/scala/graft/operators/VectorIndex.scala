@@ -1718,7 +1718,15 @@ object VectorIndex {
     * appends (the tools harness picks ids of the store's highest
     * generation): in-distribution queries keep high recall under drift
     * because their neighborhoods sit in well-probed base partitions —
-    * it is the fresh data whose retrieval silently degrades. */
+    * it is the fresh data whose retrieval silently degrades.
+    *
+    * Cost at scale: the exact side is the recall ground truth, so the
+    * report pays ONE full scan of the live store per call (all queries
+    * share it via a broadcast cross-join + TopKAgg — k rows per query
+    * cross the wire, never the corpus), plus the pruned probe scan. A
+    * health check is a periodic maintenance read, not a serving-path
+    * query; at 100 TB run it at the cadence of compaction, not of
+    * traffic. */
   /** Lowest `n` live vec_ids of the store's NEWEST generation — the
     * default drift probes for [[storeHealth]] callers (the freshest
     * appends are the rows whose retrieval degrades under drift; see the

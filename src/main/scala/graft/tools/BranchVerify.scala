@@ -197,12 +197,18 @@ object BranchVerify {
     // swap had begun (vectors renamed aside) when the writer died —
     // recovery finishes the swap, including the staged model. The staged
     // copies are byte-identical to the live state, so content is
-    // unchanged and the original oracles still rule.
+    // unchanged and the original oracles still rule. Manufactured on the
+    // LSH store too (planes_retrain): recovery's model-dir loop and the
+    // grouped-dir layout's swap both finish under it.
     copyDir(spark, s"$ivfPath/vectors", s"$ivfPath/vectors_compact")
     copyDir(spark, s"$ivfPath/centroids", s"$ivfPath/centroids_retrain")
     renameDir(spark, s"$ivfPath/vectors", s"$ivfPath/vectors_old")
     VectorIndex.recoverStore(spark, ivfPath)
-    dump(spark, sfDir, s"$outDir/recover_fwd", ivfQueries)
+    copyDir(spark, s"$lshPath/vectors", s"$lshPath/vectors_compact")
+    copyDir(spark, s"$lshPath/planes", s"$lshPath/planes_retrain")
+    renameDir(spark, s"$lshPath/vectors", s"$lshPath/vectors_old")
+    VectorIndex.recoverStore(spark, lshPath)
+    dump(spark, sfDir, s"$outDir/recover_fwd", ivfQueries ++ lshQueries)
 
     // real compaction folds the churn away: single-gen fast path again
     VectorIndex.compactStore(spark, ivfPath)
