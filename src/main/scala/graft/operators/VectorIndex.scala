@@ -1727,11 +1727,21 @@ object VectorIndex {
     * health check is a periodic maintenance read, not a serving-path
     * query; at 100 TB run it at the cadence of compaction, not of
     * traffic. */
-  /** Lowest `n` live vec_ids of the store's NEWEST generation — the
-    * default drift probes for [[storeHealth]] callers (the freshest
-    * appends are the rows whose retrieval degrades under drift; see the
-    * report doc). On a compacted (single-gen) store this is simply the
-    * lowest-id live rows. */
+  /** Lowest `n` live vec_ids of the store's FRESHEST surviving
+    * generation — the default drift probes for [[storeHealth]] callers
+    * (the freshest appends are the rows whose retrieval degrades under
+    * drift; see the report doc). On a compacted (single-gen) store this
+    * is simply the lowest-id live rows.
+    *
+    * Ids resolve through the same newest-version-wins fold the serving
+    * reads use (r19, ADVICE r18): a raw `gen === max(gen)` pick returned
+    * EMPTY when the newest generation was tombstone-only (a delete was
+    * the last operation) — precisely the churn/delete state whose fresh
+    * rows the drift probes exist to sample — silently degrading callers
+    * to baseline probes. Resolved, the probe set is the highest-gen LIVE
+    * survivors; empty now means the store holds no live rows at all
+    * (logged loudly — a health probe over a fully-tombstoned store has
+    * nothing to measure). */
   private[graft] def newestGenIds(
       spark: SparkSession, path: String, n: Int): Seq[Long] = {
     val baseAll = spark.read.parquet(s"$path/vectors")
@@ -1739,10 +1749,24 @@ object VectorIndex {
       if (hasDelta(spark, path))
         baseAll.unionByName(deltaFrame(spark, path, baseAll.schema))
       else baseAll
-    val maxGen = all.agg(max(col("gen"))).collect().head.getLong(0)
-    all.where(col("gen") === maxGen && !col("deleted"))
-      .select(col("vec_id")).orderBy(col("vec_id")).limit(n)
-      .collect().map(_.getLong(0)).toSeq
+    val resolved = all
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("gen"), col("deleted")),
+        // tie-break: same generation prefers the live row to a tombstone
+        struct(col("gen"), !col("deleted"))).as("v"))
+      .where(!col("v.deleted"))
+      .select(col("vec_id"), col("v.gen").as("gen"))
+    val maxLive = resolved.agg(max(col("gen"))).collect().head
+    if (maxLive.isNullAt(0)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"newestGenIds: store $path has no live rows (every id resolves " +
+          "to a tombstone) — no drift probes exist")
+      Seq.empty
+    } else
+      resolved.where(col("gen") === maxLive.getLong(0))
+        .select(col("vec_id")).orderBy(col("vec_id")).limit(n)
+        .collect().map(_.getLong(0)).toSeq
   }
 
   /** Graded corpus entry point for [[storeHealth]] — the health report

@@ -32,6 +32,12 @@ object StoreHealth {
     val spark = GraftSession.local(cpus)
     try {
       val ids = VectorIndex.newestGenIds(spark, path, 5)
+      // loud, not a silent fallback (r19, ADVICE r18): an empty probe set
+      // means the store has no live rows — baseline probes would measure
+      // nothing meaningful, so fail here with the reason in the message
+      require(ids.nonEmpty,
+        s"StoreHealth: store $path has no live rows to probe (every id " +
+          "resolves to a tombstone) — nothing to measure")
       val r = VectorIndex.storeHealth(spark, path, queryIds = ids,
         k = k, nprobe = nprobe, recallFloor = floor).collect().head
       def s4(v: Double) =

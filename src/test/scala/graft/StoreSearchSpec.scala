@@ -212,6 +212,29 @@ class StoreSearchSpec extends SparkSpec {
     assert(restored.getAs[String]("recommendation") == "none")
   }
 
+  test("newestGenIds survives a tombstone-only newest generation") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("store_newest").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    // gen 1 appends five fresh ids; gen 2 (the NEWEST generation) is a
+    // pure delete of five base ids — the r18 pick (`gen === max(gen) &&
+    // !deleted`) returned EMPTY here and the health probe silently fell
+    // back to baseline queries (ADVICE r18)
+    val fresh = (10000L to 10004L)
+    val batch = fresh.map(id => (id, 1, Seq.fill(64)(0.01f)))
+      .toDF("vec_id", "label", "embedding")
+    VectorIndex.appendStore(spark, path, batch, gen = 1L)
+    VectorIndex.deleteFromStore(spark, path, Seq(0L, 1L, 2L, 3L, 4L), gen = 2L)
+    assert(VectorIndex.newestGenIds(spark, path, 5) == fresh.toSeq,
+      "the probe set must be the freshest LIVE survivors (gen 1), not " +
+        "empty because gen 2 is tombstone-only")
+    // delete the appends too: probes fall back to the gen-0 survivors
+    VectorIndex.deleteFromStore(spark, path, fresh, gen = 3L)
+    val g0 = VectorIndex.newestGenIds(spark, path, 5)
+    assert(g0.size == 5 && g0.forall(id => id >= 5L && id < 10000L),
+      s"expected lowest-id live gen-0 rows, got $g0")
+  }
+
   test("batch store probe equals per-query store probes; one scan, broadcast probe table") {
     import org.apache.spark.sql.functions.col
     val batch = VectorIndex.batchIvfSearchStore(spark, sfDir)
