@@ -383,11 +383,44 @@ object VectorIndex {
   private def leaseContent(owner: String): String =
     s"$owner\nepoch=${java.util.UUID.randomUUID()} " +
       s"ts=${java.time.Instant.now()} pid=${ProcessHandle.current().pid()} " +
-      s"host=$localHost"
+      s"host=$localHost piddomain=$pidDomain$pidStartStamp"
 
   private lazy val localHost: String =
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: java.net.UnknownHostException => "unknown" }
+
+  /** Identity of the pid domain in which THIS process can decide pid
+    * liveness (r19, ADVICE r18). Hostname equality is NOT that proof:
+    * two containers with colliding hostnames (default container names)
+    * over a shared filesystem would judge each other's LIVE pids dead —
+    * the exact corruption the lease exists to prevent. The domain is
+    * kernel boot id (globally unique per running kernel — distinguishes
+    * hosts) + pid-namespace inode (distinguishes containers on one
+    * kernel, whose pid tables are disjoint views): `ProcessHandle`
+    * answers liveness authoritatively exactly for pids minted in the
+    * same domain. Where /proc is unavailable (non-Linux) the fallback
+    * identity is the hostname — marked as such, so a fallback-stamped
+    * lease never matches a domain-stamped reader and vice versa. */
+  private[graft] lazy val pidDomain: String = {
+    val bootId =
+      try Some(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")).trim)
+      catch { case _: Exception => None }
+    val pidNs =
+      try Some(java.nio.file.Files.readSymbolicLink(
+        java.nio.file.Paths.get("/proc/self/ns/pid")).toString)
+      catch { case _: Exception => None }
+    (bootId, pidNs) match {
+      case (Some(b), Some(n)) => s"$b/$n"
+      case _ => s"fallback-host:$localHost"
+    }
+  }
+
+  /** Process start time stamped next to the pid so a RECYCLED pid (same
+    * number, different process) does not read as a live holder. */
+  private def pidStartStamp: String =
+    ProcessHandle.current().info().startInstant()
+      .map[String](i => s" pidstart=${i.toEpochMilli}").orElse("")
 
   /** Batch owner kinds ([[newWriterOwner]]) — per-call leases with no
     * successor: a crashed batch holder can never be legitimately
@@ -398,11 +431,15 @@ object VectorIndex {
   private val batchOwnerKinds = Set("append", "delete", "compact", "recover")
 
   /** True iff `held` is a batch-kind lease whose holder is PROVABLY dead:
-    * the lease was minted on THIS host (`host=` stamped since r18 —
-    * older leases without it are never reaped) and its pid no longer
-    * exists or is not alive. A live pid, a foreign host, a stream owner,
-    * or an unparseable line all answer false — the conservative manual
-    * [[breakWriterLease]] path remains for those. */
+    * the lease was minted in THIS process's pid domain (`piddomain=`
+    * stamped since r19 — boot id + pid-namespace inode, the identity
+    * under which local pid liveness is actually decidable; hostname
+    * equality was the r18 proof and is NOT sound across containers with
+    * colliding hostnames, so leases without the domain stamp are never
+    * reaped) and its pid no longer exists, is not alive, or was recycled
+    * (same number, different start time). A live pid, a foreign domain,
+    * a stream owner, or an unparseable line all answer false — the
+    * conservative manual [[breakWriterLease]] path remains for those. */
   private def isProvablyDeadBatchHolder(held: String): Boolean = {
     val owner = leaseOwnerOf(held)
     val kind = owner.takeWhile(_ != ':')
@@ -410,11 +447,18 @@ object VectorIndex {
     val meta = held.linesIterator.drop(1).nextOption().getOrElse("")
     val kv = meta.split("\\s+").iterator
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-    val sameHost = kv.get("host").contains(localHost)
+    val sameDomain = kv.get("piddomain").contains(pidDomain)
     val pid = kv.get("pid").flatMap(_.toLongOption)
-    sameHost && pid.exists { p =>
+    val mintedStart = kv.get("pidstart").flatMap(_.toLongOption)
+    sameDomain && pid.exists { p =>
       val h = ProcessHandle.of(p)
-      !h.isPresent || !h.get.isAlive
+      if (!h.isPresent || !h.get.isAlive) true
+      else // alive pid with a DIFFERENT start time is a recycled number
+        (for {
+          minted <- mintedStart
+          now <- { val s = h.get.info().startInstant()
+                   if (s.isPresent) Some(s.get.toEpochMilli) else None }
+        } yield now != minted).getOrElse(false)
     }
   }
 

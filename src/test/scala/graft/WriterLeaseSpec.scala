@@ -126,11 +126,17 @@ class WriterLeaseSpec extends SparkSpec {
     java.net.InetAddress.getLocalHost.getHostName
 
   /** Manufacture a lease file as a crashed writer would leave it: the
-    * owner line plus the pid/host diagnostics line acquisition parses. */
+    * owner line plus the pid/host/domain diagnostics line acquisition
+    * parses. Defaults to THIS process's pid domain (the reapable shape);
+    * pass a foreign domain to model a colliding-hostname container. */
   private def plantLease(
-      store: String, owner: String, pid: Long, host: String): Unit =
+      store: String, owner: String, pid: Long, host: String,
+      domain: String = VectorIndex.pidDomain,
+      pidStart: Option[Long] = None): Unit =
     Files.writeString(leaseFile(store),
-      s"$owner\nepoch=test-epoch ts=2026-08-16T00:00:00Z pid=$pid host=$host")
+      s"$owner\nepoch=test-epoch ts=2026-08-16T00:00:00Z pid=$pid " +
+        s"host=$host piddomain=$domain" +
+        pidStart.map(s => s" pidstart=$s").getOrElse(""))
 
   /** A pid that provably belonged to a real process on this host and is
     * now dead — the kill -9'd batch holder of VERDICT r17 item 2. */
@@ -155,11 +161,13 @@ class WriterLeaseSpec extends SparkSpec {
       "reaping writer left its own per-call lease behind")
   }
 
-  test("auto-reap refuses: live pid, stream owner, foreign host, no host") {
+  test("auto-reap refuses: live pid, stream owner, foreign domain, no domain") {
     val store = Files.createTempDirectory("lease_noreap").toString
     VectorIndex.writeStore(spark, sfDir, store)
-    def rejectedWith(owner: String, pid: Long, host: String): Unit = {
-      plantLease(store, owner, pid, host)
+    def rejectedWith(owner: String, pid: Long, host: String,
+        domain: String = VectorIndex.pidDomain,
+        pidStart: Option[Long] = None): Unit = {
+      plantLease(store, owner, pid, host, domain, pidStart)
       val e = intercept[IllegalStateException](
         VectorIndex.appendStore(spark, store, vecBatch(6200000L), gen = 9L))
       assert(e.getMessage.contains("breakWriterLease"))
@@ -168,18 +176,43 @@ class WriterLeaseSpec extends SparkSpec {
     // a LIVE batch holder (this JVM's pid) is a running writer, not debris
     rejectedWith(s"append:pid=${ProcessHandle.current().pid()}:live",
       ProcessHandle.current().pid(), localHost)
+    // ... even when the lease stamps the holder's true start time (the
+    // recycled-pid refinement must not misread an honest live holder)
+    val selfStart = ProcessHandle.current().info().startInstant()
+    assume(selfStart.isPresent)
+    rejectedWith(s"append:pid=${ProcessHandle.current().pid()}:live2",
+      ProcessHandle.current().pid(), localHost,
+      pidStart = Some(selfStart.get.toEpochMilli))
     // a dead STREAM holder is deliberate leakage: only the same stream's
     // replay may touch a half-committed append — never reaped
     val dead = killedPid()
     rejectedWith(s"stream:/ck/crashed", dead, localHost)
-    // a foreign host's pid space proves nothing about liveness
-    rejectedWith(s"compact:pid=$dead:foreign", dead, "some-other-host")
-    // a pre-r18 lease without a host stamp is never reaped
+    // a FOREIGN pid domain proves nothing about liveness, even on a
+    // matching hostname: two containers with colliding default hostnames
+    // over a shared store (ADVICE r18) — its dead-to-us pid may be a
+    // LIVE writer behind the other namespace
+    rejectedWith(s"compact:pid=$dead:foreign", dead, localHost,
+      domain = "deadbeef-boot/pid:[4026530000]")
+    // a pre-r19 lease without a domain stamp (host-only, or bare pid) is
+    // never reaped — hostname equality is not a liveness proof
     Files.writeString(leaseFile(store),
-      s"delete:pid=$dead:old\nepoch=test ts=now pid=$dead")
+      s"delete:pid=$dead:old\nepoch=test ts=now pid=$dead host=$localHost")
     intercept[IllegalStateException](
       VectorIndex.appendStore(spark, store, vecBatch(6200000L), gen = 9L))
     VectorIndex.breakWriterLease(spark, store)
+  }
+
+  test("auto-reap treats a recycled pid (same number, new start time) as dead") {
+    val store = Files.createTempDirectory("lease_recycle").toString
+    VectorIndex.writeStore(spark, sfDir, store)
+    // the lease claims THIS live JVM's pid but a start time from another
+    // era: the number was recycled, the minting process is gone
+    plantLease(store, s"append:pid=${ProcessHandle.current().pid()}:stale",
+      ProcessHandle.current().pid(), localHost,
+      pidStart = Some(12345L))
+    VectorIndex.appendStore(spark, store, vecBatch(6400000L), gen = 1L)
+    assert(VectorIndex.genExists(spark, store, 1L))
+    assert(!Files.exists(leaseFile(store)))
   }
 
   test("a stream start rejected by a held lease records NO base-gen marker") {
