@@ -2360,14 +2360,17 @@ object SparkEntry {
     "ann_eval" ->
       (s"WITH $ivfModelCtes,\n" + batchIvfCtes + ",\n" +
         recallOracleTail),
-    // the store-health report (r18): ann_eval's recall replay with the
-    // health probe's SELF-INCLUSIVE contract (the queries ARE store
-    // rows — no query/candidate exclusion on either side), closed with
-    // the floor verdict and the remedy literal. The rounded mean drives
+    // the store-health report (r18; PQ half r19): ann_eval's recall
+    // replay with the health probe's SELF-INCLUSIVE contract (the
+    // queries ARE store rows — no query/candidate exclusion on either
+    // side), judged for BOTH serving configs — the plain pruned probe
+    // AND the quantized IVF-PQ probe (per-query integer ADC LUT over
+    // the store's codes, fetchK=50 window, exact re-rank) — closed with
+    // the floor verdict and the remedy literal. The rounded means drive
     // the verdict on both sides, so Spark and DuckDB flip healthy at
     // exactly the same corpus.
     "store_health" ->
-      (s"WITH $ivfModelCtes,\n" +
+      (s"WITH $ivfModelCtes,\n" + pqIterCtes("p") + ",\n" +
         """qd AS (
           |  SELECT e.vec_id AS query_id, c.cid, sum((c.cq - e.q) * (c.cq - e.q)) AS dd
           |  FROM eq e JOIN c5 c USING (dim)
@@ -2409,13 +2412,49 @@ object SparkEntry {
           |  SELECT count(*) AS n_queries,
           |    FLOOR(avg(recall) * 10000 + 0.5) / 10000.0 AS mean_recall,
           |    FLOOR(min(recall) * 10000 + 0.5) / 10000.0 AS min_recall
-          |  FROM pr)
+          |  FROM pr),
+          |plut AS (
+          |  SELECT q.query_id, c.dim // 8 AS sub, c.cid, CAST(sum(q.q * c.cq) AS BIGINT) AS ip
+          |  FROM pc5 c JOIN (SELECT vec_id AS query_id, dim, q FROM eq WHERE vec_id < 5) q USING (dim)
+          |  GROUP BY 1, 2, 3),
+          |padc AS (
+          |  SELECT l.query_id, f.vec_id, CAST(sum(l.ip) AS BIGINT) AS adc
+          |  FROM pfa f JOIN plut l ON l.sub = f.sub AND l.cid = f.cid
+          |  JOIN fa iv ON iv.vec_id = f.vec_id
+          |  JOIN qprobes p ON p.query_id = l.query_id AND p.cid = iv.cid
+          |  GROUP BY 1, 2),
+          |pcand AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+          |    FROM padc) WHERE rn <= 50),
+          |psc AS (
+          |  SELECT c.query_id, c.vec_id,
+          |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
+          |  FROM pcand c JOIN embeddings e USING (vec_id)
+          |  JOIN embeddings q ON q.vec_id = c.query_id),
+          |app AS (
+          |  SELECT query_id, vec_id FROM (
+          |    SELECT query_id, vec_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          |    FROM psc) WHERE rn <= 5),
+          |hp AS (
+          |  SELECT ex.query_id, count(*) AS n_hit
+          |  FROM ex JOIN app USING (query_id, vec_id) GROUP BY 1),
+          |prp AS (
+          |  SELECT q.query_id, coalesce(hp.n_hit, 0) / 5.0 AS recall
+          |  FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN hp USING (query_id)),
+          |aggp AS (
+          |  SELECT FLOOR(avg(recall) * 10000 + 0.5) / 10000.0 AS mean_recall_pq,
+          |    FLOOR(min(recall) * 10000 + 0.5) / 10000.0 AS min_recall_pq
+          |  FROM prp)
           |SELECT n_queries, 5 AS k, 4 AS nprobe, mean_recall, min_recall,
+          |  mean_recall_pq, min_recall_pq,
           |  CAST(0.8 AS DOUBLE) AS recall_floor,
-          |  mean_recall >= 0.8 AS healthy,
-          |  CASE WHEN mean_recall >= 0.8 THEN 'none'
+          |  (mean_recall >= 0.8 AND mean_recall_pq >= 0.8) AS healthy,
+          |  CASE WHEN mean_recall >= 0.8 AND mean_recall_pq >= 0.8 THEN 'none'
           |       ELSE 'compactStore(retrain = true)' END AS recommendation
-          |FROM agg""".stripMargin),
+          |FROM agg, aggp""".stripMargin),
     // the PQ family replayed end to end: per-subspace fixed-point Lloyd
     // (pqModelCtes), then — for the search — the integer ADC LUT and the
     // exact re-rank of the top-fetchK candidates

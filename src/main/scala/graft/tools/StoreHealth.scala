@@ -42,16 +42,22 @@ object StoreHealth {
         k = k, nprobe = nprobe, recallFloor = floor).collect().head
       def s4(v: Double) =
         String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      def s4n(name: String) =
+        if (r.isNullAt(r.fieldIndex(name))) "null"
+        else s4(r.getAs[Double](name))
       println(
         s"""{"metric":"store_health","store":"$path"""" +
           s""","query_ids":[${ids.mkString(",")}]""" +
-          s""","n_queries":${r.getLong(0)},"k":${r.getInt(1)}""" +
-          s""","nprobe":${r.getInt(2)}""" +
-          s""","mean_recall":${s4(r.getDouble(3))}""" +
-          s""","min_recall":${s4(r.getDouble(4))}""" +
-          s""","recall_floor":${s4(r.getDouble(5))}""" +
-          s""","healthy":${r.getBoolean(6)}""" +
-          s""","recommendation":"${r.getString(7)}"}""")
+          s""","n_queries":${r.getAs[Long]("n_queries")}""" +
+          s""","k":${r.getAs[Int]("k")}""" +
+          s""","nprobe":${r.getAs[Int]("nprobe")}""" +
+          s""","mean_recall":${s4(r.getAs[Double]("mean_recall"))}""" +
+          s""","min_recall":${s4(r.getAs[Double]("min_recall"))}""" +
+          s""","mean_recall_pq":${s4n("mean_recall_pq")}""" +
+          s""","min_recall_pq":${s4n("min_recall_pq")}""" +
+          s""","recall_floor":${s4(r.getAs[Double]("recall_floor"))}""" +
+          s""","healthy":${r.getAs[Boolean]("healthy")}""" +
+          s""","recommendation":"${r.getAs[String]("recommendation")}"}""")
     } finally spark.stop()
   }
 }

@@ -126,6 +126,71 @@ class CompactRecoverySpec extends SparkSpec {
     assert(search(path) == before)
   }
 
+  test("crash mid PQ-codebook swap during retrain: recoverStore finishes the staged codebooks") {
+    val path = Files.createTempDirectory("recover_pq").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val before = search(path)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    val beforePq = VectorIndex.ivfPqSearchStoreAt(spark, path, qv,
+      nprobe = VectorIndex.K, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+
+    // crash point of the r19 retrain: vectors already swapped (old
+    // renamed aside, new live — its codes computed from the STAGED
+    // codebooks), centroids swap finished, pq_retrain not yet renamed
+    // into place. Staged copies are byte-identical here, so recovery
+    // must restore identical serving.
+    spark.read.parquet(s"$path/pq").write.parquet(s"$path/pq_retrain")
+    spark.read.parquet(s"$path/vectors")
+      .write.partitionBy("centroid_id").parquet(s"$path/vectors_old_src")
+    hfs.rename(new Path(s"$path/vectors_old_src"), new Path(s"$path/vectors_old"))
+
+    VectorIndex.recoverStore(spark, path)
+    assert(!hfs.exists(new Path(s"$path/pq_retrain")))
+    assert(!hfs.exists(new Path(s"$path/pq_old")))
+    assert(hfs.exists(new Path(s"$path/pq")))
+    assert(search(path) == before)
+    val afterPq = VectorIndex.ivfPqSearchStoreAt(spark, path, qv,
+      nprobe = VectorIndex.K, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterPq == beforePq, "quantized serving changed across recovery")
+  }
+
+  test("crash before the swap began: staged PQ codebooks are discarded") {
+    val path = Files.createTempDirectory("recover_pq_back").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val before = search(path)
+    // retrain staged a codebook re-fit (and a partial rewrite) but the
+    // swap never began: roll-back must discard BOTH staging outputs
+    spark.read.parquet(s"$path/pq").write.parquet(s"$path/pq_retrain")
+    spark.read.parquet(s"$path/vectors").limit(5)
+      .write.partitionBy("centroid_id").parquet(s"$path/vectors_compact")
+    VectorIndex.recoverStore(spark, path)
+    assert(!hfs.exists(new Path(s"$path/pq_retrain")))
+    assert(!hfs.exists(new Path(s"$path/vectors_compact")))
+    assert(hfs.exists(new Path(s"$path/pq")))
+    assert(search(path) == before)
+  }
+
+  test("retrain compaction leaves no staged-model debris and PQ search serves the re-fit codebooks") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("recover_retrain_e2e").toString
+    VectorIndex.writeStore(spark, sfDir, path)
+    val qv = KnnSearch.queryVector(spark, sfDir, 0L)
+    VectorIndex.appendStore(spark, path,
+      Seq((1000002L, 4, qv.toSeq)).toDF("vec_id", "label", "embedding"), gen = 1L)
+    VectorIndex.compactStore(spark, path, retrain = true)
+    for (d <- Seq("vectors_old", "vectors_compact", "centroids_retrain",
+        "centroids_old", "pq_retrain", "pq_old"))
+      assert(!hfs.exists(new Path(s"$path/$d")), s"$d left behind")
+    // the appended duplicate of the query vector must be the quantized
+    // probe's top hit through the RE-FIT codebooks and recomputed codes
+    val top = VectorIndex.ivfPqSearchStoreAt(spark, path, qv,
+      nprobe = VectorIndex.K, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).head
+    assert(top == 1000002L, s"expected the appended twin on top, got $top")
+  }
+
   test("real compaction after appends survives and equals the merge-on-read answer") {
     import spark.implicits._
     val path = Files.createTempDirectory("recover_e2e").toString

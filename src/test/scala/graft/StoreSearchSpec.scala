@@ -161,11 +161,16 @@ class StoreSearchSpec extends SparkSpec {
     val path = Files.createTempDirectory("store_health").toString
     VectorIndex.writeStore(spark, sfDir, path)
 
-    // healthy baseline: in-distribution queries over the fresh store
+    // healthy baseline: in-distribution queries over the fresh store —
+    // BOTH serving configs (plain pruned probe and the quantized IVF-PQ
+    // probe) at or above the floor
     val before = VectorIndex.storeHealth(spark, path, nprobe = 2).collect().head
     assert(before.getAs[Boolean]("healthy"),
       s"fresh store reports unhealthy: $before")
     assert(before.getAs[String]("recommendation") == "none")
+    assert(!before.isNullAt(before.fieldIndex("mean_recall_pq")),
+      "a PQ-carrying store must report the quantized probe's recall")
+    assert(before.getAs[Double]("mean_recall_pq") >= 0.8, s"$before")
 
     // drift: corpus TURNOVER — the base rows tombstoned, a corpus whose
     // internal similarity structure the frozen centroids know nothing
@@ -201,7 +206,17 @@ class StoreSearchSpec extends SparkSpec {
     assert(degraded.getAs[String]("recommendation") ==
       "compactStore(retrain = true)")
 
-    // apply the recommended remedy; the SAME drifted queries recover
+    // the SECOND decay mechanism is degraded too: the reversed corpus's
+    // per-subspace structure no longer matches the frozen codebooks, so
+    // the quantized probe's ADC ranking drops below the floor (this is
+    // the silent decay SURVEY.md names — measured here, and since r19
+    // FIXED by the same remedy)
+    val degradedPq = degraded.getAs[Double]("mean_recall_pq")
+    assert(degradedPq < 0.8,
+      s"turnover should degrade the quantized probe too: $degraded")
+
+    // apply the recommended remedy; the SAME drifted queries recover —
+    // for BOTH mechanisms (retrain re-fits centroids AND PQ codebooks)
     VectorIndex.compactStore(spark, path, retrain = true)
     val restored = VectorIndex.storeHealth(spark, path,
       queryIds = driftIds, nprobe = 2).collect().head
@@ -209,6 +224,10 @@ class StoreSearchSpec extends SparkSpec {
       s"retrain did not restore recall: $restored")
     assert(restored.getAs[Double]("mean_recall") >
       degraded.getAs[Double]("mean_recall"))
+    assert(restored.getAs[Double]("mean_recall_pq") >= 0.8 &&
+      restored.getAs[Double]("mean_recall_pq") > degradedPq,
+      s"codebook re-fit did not restore the quantized probe: $restored " +
+        s"(was $degradedPq)")
     assert(restored.getAs[String]("recommendation") == "none")
   }
 
