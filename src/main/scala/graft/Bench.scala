@@ -323,26 +323,62 @@ object Bench {
     * warehouse is also parent-session state a child must not rebuild),
     * writing its line to a private temp file (SPARK_GRAFT_OUT) that is
     * parsed with the same refTimes reader the artifacts already use. */
-  private def freshJvmMeasure(
-      name: String, timeoutMin: Long = 45): Option[Double] = {
+  /** Classpath the forked child can actually resolve graft.Bench from
+    * (r19, ADVICE r18): under sbt's layered classloaders
+    * `java.class.path` is the sbt launcher alone — a child started on it
+    * failed to find the class and the receipt was silently lost. The
+    * fallback reconstructs "(graft classes dir) + (spark jars dir)
+    * wildcard" from the code-source locations of this class and
+    * SparkSession; SPARK_GRAFT_FRESH_CP overrides everything. */
+  private def freshJvmClasspath(): String = {
+    def codeSrc(c: Class[_]): Option[java.io.File] =
+      try Option(c.getProtectionDomain.getCodeSource)
+        .map(cs => new java.io.File(cs.getLocation.toURI))
+      catch { case _: Exception => None }
+    sys.env.getOrElse("SPARK_GRAFT_FRESH_CP", {
+      val inherited = System.getProperty("java.class.path")
+      val sep = java.io.File.pathSeparator
+      val hasGraft = inherited.split(sep).exists(p =>
+        new java.io.File(p, "graft/Bench$.class").exists())
+      if (hasGraft) inherited
+      else (codeSrc(getClass),
+            codeSrc(classOf[org.apache.spark.sql.SparkSession])) match {
+        case (Some(g), Some(sj)) =>
+          s"${g.getAbsolutePath}$sep${sj.getParentFile.getAbsolutePath}" +
+            s"${java.io.File.separator}*"
+        case _ => inherited // nothing better known; the fork will say so
+      }
+    })
+  }
+
+  private[graft] def freshJvmMeasure(
+      name: String, timeoutMin: Long = 45,
+      extraEnv: Map[String, String] = Map.empty): Option[Double] = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java")
       .getAbsolutePath
+    // heap: the child runs NEXT TO the parent session, whose -Xmx-sized
+    // heap is still resident — inheriting a 64g parent cap doubles the
+    // window's peak demand (ADVICE r18). SPARK_GRAFT_FRESH_XMX bounds
+    // the child independently; unset keeps the inherited flags.
+    val freshXmx = sys.env.get("SPARK_GRAFT_FRESH_XMX")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filter(a =>
-        a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+        ((a.startsWith("-Xmx") || a.startsWith("-Xms")) && freshXmx.isEmpty) ||
           a.startsWith("-XX") || a.startsWith("--add-opens") ||
-          a.startsWith("--add-exports") || a.startsWith("--enable-native-access"))
+          a.startsWith("--add-exports") || a.startsWith("--enable-native-access")) ++
+      freshXmx.map(x => s"-Xmx$x")
     val out = java.io.File.createTempFile(s"graft_fresh_$name", ".json")
     val log = java.io.File.createTempFile(s"graft_fresh_$name", ".log")
     val cmd = (Seq(javaBin) ++ jvmArgs ++
-      Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+      Seq("-cp", freshJvmClasspath(), "graft.Bench")).asJava
     val pb = new ProcessBuilder(cmd)
     val env = pb.environment()
     env.put("SPARK_GRAFT_ONLY", name)
     env.put("SPARK_GRAFT_NO_RETRY", "1")
     env.put("SPARK_GRAFT_OUT", out.getAbsolutePath)
+    extraEnv.foreach { case (k, v) => env.put(k, v) }
     env.remove("SPARK_GRAFT_REF")
     env.remove("SPARK_GRAFT_FRESH_JVM")
     env.remove("SPARK_GRAFT_BUCKETED_BUCKETS")
@@ -538,7 +574,11 @@ object Bench {
     // r17-diagnosed C2-profile-pollution signature; its fresh-JVM number
     // lands in the artifact as "fresh_jvm" so the outlier closure that
     // took hand-run isolated re-measures in r16/r17 is mechanical.
-    val freshJvm: Map[String, Double] =
+    // a LOST receipt (fork failed / timed out / unparseable) records as
+    // null in the artifact (r19, ADVICE r18) — a stays-slow query whose
+    // isolation read is missing must be visible in the JSON the round
+    // audit reads, not only on stderr
+    val freshJvm: Map[String, Option[Double]] =
       if (!sys.env.get("SPARK_GRAFT_FRESH_JVM").contains("1")) Map.empty
       else refConfig.map { case (ref, factor, floor) =>
         val staysSlow = refRetried.filter { n =>
@@ -547,7 +587,7 @@ object Bench {
             jvmTrips.get(n).exists(_.takeRight(2)
               .forall(_.getOrElse("jit_ms", 0.0) < 1000.0))
         }
-        staysSlow.flatMap(n => freshJvmMeasure(n).map(n -> _)).toMap
+        staysSlow.map(n => n -> freshJvmMeasure(n)).toMap
       }.getOrElse(Map.empty)
 
     val calibPost = calibrate(spark, sfDir)
@@ -610,8 +650,8 @@ object Bench {
     }.getOrElse("")
     val freshJvmJson =
       if (freshJvm.isEmpty) ""
-      else freshJvm.toSeq.sorted
-        .map { case (n, t) => "\"" + n + "\":" + s4(t) }
+      else freshJvm.toSeq.sortBy(_._1)
+        .map { case (n, t) => "\"" + n + "\":" + t.map(s4).getOrElse("null") }
         .mkString(""","fresh_jvm":{""", ",", "}")
     val line =
       s"""{"metric":"total","value":${s4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"skipped":$skippedJson$samplesJson$refRetriedJson$jvmTripsJson$freshJvmJson$bucketedJson,"calibration":$calibJson,"sf":"$sfDir"}"""

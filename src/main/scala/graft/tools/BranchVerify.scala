@@ -33,7 +33,8 @@ import java.nio.file.{Files, Paths}
   *
   *   delta/        churned stores (branches 1+2 live on every row)
   *   recover_back/ after recoverStore discards a manufactured
-  *                 staged-but-unswapped compaction (roll-back)
+  *                 staged-but-unswapped compaction (roll-back) — on
+  *                 BOTH layouts since r19, staged PQ codebooks included
   *   recover_fwd/  after recoverStore finishes a manufactured
   *                 mid-swap crash, vectors renamed aside and a staged
   *                 layout + staged model left behind (roll-forward)
@@ -47,12 +48,15 @@ import java.nio.file.{Files, Paths}
   * shows the branches were actually ENGAGED, not just re-run. */
 object BranchVerify {
 
-  /** Graded queries that read the corpus-keyed IVF store. */
+  /** Graded queries that read the corpus-keyed IVF store
+    * (store_health since r19, ADVICE r18: its health probes read the
+    * store through the same gen-fold/delta-union branches — churn is
+    * content-preserving, so the unchanged oracle still rules). */
   private val ivfQueries = Seq(
     "ivf_search", "knn_filtered_ivf", "knn_filtered_ivf_json",
     "knn_threshold_ivf", "knn_mmr_ivf", "knn_batch_ivf", "ann_eval",
     "knn_ivf_pq", "knn_batch_ivf_pq", "ann_eval_ivf_pq", "hybrid_rrf_ivf",
-    "store_get")
+    "store_get", "store_health")
 
   /** Graded queries that read the corpus-keyed LSH store (grouped-dir
     * layout: bucket pruning via row-group stats inside 16 dirs). */
@@ -77,7 +81,7 @@ object BranchVerify {
   private def churnChunk: Int =
     sys.env.getOrElse("SPARK_GRAFT_CHURN_CHUNK", "2000").toInt
 
-  private def churn(
+  private[graft] def churn(
       spark: SparkSession, path: String, isLsh: Boolean): Long = {
     val chunk = churnChunk
     val live = spark.read.parquet(s"$path/vectors")
@@ -185,13 +189,20 @@ object BranchVerify {
       .mkString("{", ",", "}")
     dump(spark, sfDir, s"$outDir/delta", allQueries)
 
-    // recovery roll-BACK shape: a compaction staged its rewrite (and a
-    // retrain model) but never began the swap — recovery must discard
-    // both and leave the churned store serving identically
+    // recovery roll-BACK shape: a compaction staged its rewrite (and
+    // retrain models — centroids AND, since r19, PQ codebooks) but never
+    // began the swap — recovery must discard all staging and leave the
+    // churned store serving identically. Manufactured on BOTH layouts
+    // (r19, VERDICT r18 item 5: the LSH grouped-dir layout's staged-model
+    // discard was only covered by roll-forward before).
     copyDir(spark, s"$ivfPath/vectors", s"$ivfPath/vectors_compact")
     copyDir(spark, s"$ivfPath/centroids", s"$ivfPath/centroids_retrain")
+    copyDir(spark, s"$ivfPath/pq", s"$ivfPath/pq_retrain")
     VectorIndex.recoverStore(spark, ivfPath)
-    dump(spark, sfDir, s"$outDir/recover_back", ivfQueries)
+    copyDir(spark, s"$lshPath/vectors", s"$lshPath/vectors_compact")
+    copyDir(spark, s"$lshPath/planes", s"$lshPath/planes_retrain")
+    VectorIndex.recoverStore(spark, lshPath)
+    dump(spark, sfDir, s"$outDir/recover_back", ivfQueries ++ lshQueries)
 
     // recovery roll-FORWARD shape: the staged layout was complete and the
     // swap had begun (vectors renamed aside) when the writer died —
@@ -202,6 +213,7 @@ object BranchVerify {
     // grouped-dir layout's swap both finish under it.
     copyDir(spark, s"$ivfPath/vectors", s"$ivfPath/vectors_compact")
     copyDir(spark, s"$ivfPath/centroids", s"$ivfPath/centroids_retrain")
+    copyDir(spark, s"$ivfPath/pq", s"$ivfPath/pq_retrain")
     renameDir(spark, s"$ivfPath/vectors", s"$ivfPath/vectors_old")
     VectorIndex.recoverStore(spark, ivfPath)
     copyDir(spark, s"$lshPath/vectors", s"$lshPath/vectors_compact")
