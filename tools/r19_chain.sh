@@ -50,17 +50,24 @@ run() { # run LOG ARTIFACT [env pairs...] -- mainclass
 # 1. sf100 full 2-pass, plain layout — round-over-round continuity. The
 #    fresh-JVM receipt is armed with the NEW child-heap bound (r19,
 #    ADVICE r18: an inherited 64g cap next to the resident parent heap
-#    doubled the window's peak demand).
+#    doubled the window's peak demand). REF_FACTOR=1.25 (r19, VERDICT
+#    r18 item 6): the audit's own swing threshold — every >1.25× swing
+#    gets an in-artifact resolution (ref-retry min back in band, or a
+#    fresh_jvm receipt), closing the class the r18 joins needed a
+#    hand-run remeasure for. The measured sf100 noise floor still
+#    gates which queries qualify.
 run /tmp/r19_sf100_full.log bench/r19_sf100_full.json \
   SPARK_GRAFT_SF_DIR=/tmp/sf100 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_NO_RETRY=1 SPARK_GRAFT_REF=bench/r18_sf100_full.json \
+  SPARK_GRAFT_REF_FACTOR=1.25 \
   SPARK_GRAFT_FRESH_JVM=1 SPARK_GRAFT_FRESH_XMX=32g \
   -- graft.Bench
 
-# 2. sf10 full 2-pass
+# 2. sf10 full 2-pass (same in-sweep resolution threshold)
 run /tmp/r19_sf10_full.log bench/r19_sf10_full.json \
   SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_NO_RETRY=1 SPARK_GRAFT_REF=bench/r18_sf10_full.json \
+  SPARK_GRAFT_REF_FACTOR=1.25 \
   SPARK_GRAFT_FRESH_JVM=1 SPARK_GRAFT_FRESH_XMX=16g \
   -- graft.Bench
 
