@@ -108,6 +108,24 @@ object GraftSession {
       // true group-explosions, but move it out of the operating range.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 19).toString)
+      // Shuffle WRITER selection (r19): below bypassMergeThreshold
+      // (default 200) reduce partitions, every map task streams through
+      // BypassMergeSortShuffleWriter — one file PER REDUCE PARTITION per
+      // map task, M×R file creates per shuffle. With AQE's 3×-cores
+      // initialPartitionNum that is ~9.2k file creates+opens for even a
+      // kilobyte shuffle; thread dumps under the r19 baseline showed the
+      // executor pool serialized in FileOutputStream.open0 — ~0.5 s of
+      // run time PER MAP TASK on 100-row partitions (knn_graph's two
+      // dominant stages: 52 s executorRunTime over 96 tasks moving 2 MB).
+      // Forcing the sort-based writer (one data file + one index file per
+      // map task, partition-id sort in memory) removes the quadratic
+      // file-op term. Scale-neutral by construction: real clusters run
+      // thousands of reduce partitions, past the 200 cutoff, so the
+      // bypass path never engages there — this pins the same writer the
+      // at-scale configuration already uses (its in-memory partition-id
+      // sort is the cost, paid only while a shuffle's data is small
+      // enough that the buffer never spills).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions()(_))
       .getOrCreate()
