@@ -1899,12 +1899,19 @@ object VectorIndex {
       require(queries.nonEmpty, s"storeHealth: no live query rows in $path")
       val queryDf = queries.toSeq.map { case (id, v) => (id, v.toSeq) }
         .toDF("query_id", "query_vec")
+      // the exact side is the ground truth for BOTH verdicts (plain IVF
+      // and IVF-PQ): materialize its k·nQueries id rows ONCE and reuse —
+      // as a lazy plan it re-executed the full-store cross-join top-k
+      // inside the PQ recallSummary as well, i.e. the report paid the
+      // one-full-scan cost twice per call (r19)
       val exact = KnnSearch.perQueryTopK(
         live.crossJoin(broadcast(queryDf))
           .select(col("query_id"), col("vec_id"),
             round(graft.functions.VectorFunctions.cosineSim(
               col("embedding"), col("query_vec")), 4).as("score")),
         k).select(col("query_id"), col("vec_id"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+        .toDF("query_id", "vec_id")
       val probePairs = queries.toSeq.flatMap { case (qid, qv) =>
         nearestCentroidIds(centroids, qv, nprobe).map(p => (qid, p, qv.toSeq))
       }
