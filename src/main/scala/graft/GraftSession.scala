@@ -26,6 +26,7 @@ object GraftSession {
     * surface (`appendStore`/`compactStore`/`recoverStore`) refresh their
     * own serving caches and are unaffected. */
   def invalidateCorpus(sfDir: String): Unit = {
+    Tables.invalidateCorpus(sfDir)
     operators.Analytics.invalidateCorpus(sfDir)
     operators.Dedup.invalidateCorpus(sfDir)
     operators.CorpusOps.invalidateCorpus(sfDir)

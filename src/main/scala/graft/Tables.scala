@@ -9,6 +9,96 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * viable at 100 TB: a kNN query reads only (id, embedding[, filter cols]).
   */
 object Tables {
+  /** Parquet schema cache, keyed by path (r19). A schema-less
+    * `spark.read.parquet` runs a one-task footer-inference JOB at frame
+    * CONSTRUCTION time — measured ~70-250 ms through an action on this
+    * host — and the engine constructs each base table and session-temp
+    * signature table many times per query. The landed schema of a path
+    * is immutable for the session (same contract as every keyed cache
+    * here: corpus paths are immutable, store mutations append files of
+    * the identical schema), so infer once and pass the schema
+    * explicitly ever after; `seedSchema` lets writers register what
+    * they just wrote so even the first read skips inference. On a real
+    * cluster the same call skips a footer read against remote storage
+    * per query — strictly less I/O at any scale. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+
+  /** Cached-schema parquet read — the one reader every non-streaming
+    * parquet consumer in the engine goes through. */
+  private[graft] def readCached(
+      spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
+  /** Register the schema a writer just produced at `path` — the data was
+    * written FROM this exact schema by this session, so its nullability
+    * claims hold for the rows on disk and it is safe to read back with. */
+  private[graft] def seedSchema(
+      path: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    schemaCache.put(path, schema); ()
+  }
+
+  /** Total on-disk bytes of a parquet path (file or dir), cached — the
+    * driver-side input-size probe [[spreadSmall]] keys on. */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def totalBytes(path: String): Long =
+    sizeCache.computeIfAbsent(path, { p =>
+      val f = new java.io.File(p)
+      val files =
+        if (f.isDirectory)
+          f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet"))
+        else Array(f)
+      java.lang.Long.valueOf(files.map(_.length()).sum)
+    }).longValue()
+
+  /** Spread a SMALL dense scan across the cluster before CPU-heavy
+    * per-row work (r19). The dup-heavy corpora compress ~100:1, so a
+    * CPU-bound expression over a sub-row-group-sized table serializes
+    * onto one core while the rest idle — parquet cannot split below a
+    * row group, so `minPartitionNum` alone cannot help (every base table
+    * and session-temp signature table at bench scale is ONE row group).
+    * The guide's remedy for unsplittable small inputs is a repartition
+    * immediately after the read; this applies it ONLY when the path's
+    * on-disk bytes (driver-side listing, cached) sit under
+    * `spark.graft.denseScan.maxBytes` (default 64 MB — the one-to-few-
+    * split regime). Larger inputs pass through untouched: their scans
+    * already split into ≥ core-count tasks at maxPartitionBytes, so at
+    * production scale this is a cached `File.length` sum and nothing
+    * else. Derives the decision from measured input size, never from a
+    * constant tuned to either environment. */
+  private[graft] def spreadSmall(
+      spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val maxBytes = spark.conf
+      .getOption("spark.graft.denseScan.maxBytes").map(_.toLong)
+      .getOrElse(64L << 20)
+    if (totalBytes(path) < maxBytes)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
+
+  /** Drop the cached schema for one path — store mutation hooks call
+    * this defensively (their appends keep the schema, but the cache must
+    * never be able to serve a stale one after a layout-changing
+    * rebuild). */
+  private[graft] def invalidatePath(path: String): Unit = {
+    schemaCache.remove(path)
+    sizeCache.remove(path); ()
+  }
+
+  /** Drop every cached schema under the corpus dir — part of
+    * [[GraftSession.invalidateCorpus]]. Trailing separator so
+    * `/data/sf1` never matches `/data/sf10` paths. */
+  private[graft] def invalidateCorpus(sfDir: String): Unit = {
+    val prefix = sfDir.stripSuffix("/") + "/"
+    schemaCache.keySet.removeIf(_.startsWith(prefix))
+    sizeCache.keySet.removeIf(_.startsWith(prefix)); ()
+  }
+
   /** Opt-in storage-aligned layout redirect (r16, VERDICT r15 item 3):
     * when the session conf `spark.graft.bucketed.db` names a catalog
     * database, any table registered there SHADOWS its parquet file —
@@ -26,7 +116,7 @@ object Tables {
       .filter(_.nonEmpty)
       .filter(db => spark.catalog.tableExists(s"$db.$name"))
       .map(db => spark.table(s"$db.$name"))
-    redirected.getOrElse(spark.read.parquet(s"$sfDir/$name.parquet"))
+    redirected.getOrElse(readCached(spark, s"$sfDir/$name.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

@@ -753,16 +753,25 @@ object VectorIndex {
           .parquet(deltaPath(path))
           .agg(max(col("gen"))).head().get(0)
       else null
-    val baseMax = spark.read.parquet(s"$path/vectors")
+    val baseMax = readBase(spark, path)
       .agg(max(col("gen"))).head().get(0)
     val taken = Seq(deltaMax, baseMax)
       .collect { case g: java.lang.Long => g.longValue() }
     if (taken.isEmpty) 0L else taken.max + 1L
   }
 
+  /** Cached-schema read of the store's partitioned base (r19): every
+    * `/vectors` consumer goes through here, so repeated queries skip the
+    * one-task footer-inference job a schema-less `read.parquet` runs at
+    * frame-construction time. The schema is layout-stable across appends
+    * and compactions (same columns, new files); the mutation paths
+    * invalidate the entry defensively all the same. */
+  private def readBase(spark: SparkSession, path: String): DataFrame =
+    graft.Tables.readCached(spark, s"$path/vectors")
+
   /** The store's full logical content: partitioned base + append delta. */
   private def storeVectors(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/vectors")
+    val base = readBase(spark, path)
     if (hasDelta(spark, path))
       base.unionByName(deltaFrame(spark, path, base.schema))
     else base
@@ -911,6 +920,7 @@ object VectorIndex {
       pqCb.fold(base)(cb => base.withColumn("codes", pqCodesCol(cb))),
       layout, s"$path/vectors")
     writeModelTable(spark, s"$path/${layout.modelDir}", layout, model)
+    graft.Tables.invalidatePath(s"$path/vectors")
     modelCache.put(s"$path/${layout.modelDir}", model)
     pqCb.foreach(cb => writePqModelTable(spark, path, cb))
     setSingleGen(spark, path, v = true)
@@ -1283,6 +1293,7 @@ object VectorIndex {
       pqModelCache.put(s"$path/pq", cb)
     }
     deleteOrFail("vectors_old")
+    graft.Tables.invalidatePath(s"$path/vectors")
     setSingleGen(spark, path, v = true)
   }
 
@@ -1345,6 +1356,7 @@ object VectorIndex {
       // leftovers (they resolve to content identical to their folded
       // gen-0 copies) and the next compaction folds them away.
       f.delete(P("vectors_old"), true)
+      graft.Tables.invalidatePath(s"$path/vectors")
     } else {
       // compaction never switched the store: discard staging output
       if (ex("vectors_compact")) f.delete(P("vectors_compact"), true)
@@ -1394,7 +1406,7 @@ object VectorIndex {
     // filter over the (small-by-contract) delta files — the partition id
     // rides as a data column there, so a probe sees exactly the delta
     // rows it would have seen in the fan-out layout.
-    val baseAll = spark.read.parquet(s"$path/vectors")
+    val baseAll = readBase(spark, path)
     val prunedBase = baseAll.where(layout.prunePred(parts))
     // delta rows carry the partition id as a data column but no dir
     // column (deltaFrame fills it as null under the base schema), so the
@@ -1505,7 +1517,7 @@ object VectorIndex {
       ids: Seq[Long],
       asOfGen: Option[Long] = None): DataFrame = {
     require(ids.nonEmpty, "getByIds needs at least one id")
-    val baseAll = spark.read.parquet(s"$path/vectors")
+    val baseAll = readBase(spark, path)
     val hit = col("vec_id").isin(ids: _*)
     val all =
       if (hasDelta(spark, path))
@@ -1841,7 +1853,7 @@ object VectorIndex {
     * nothing to measure). */
   private[graft] def newestGenIds(
       spark: SparkSession, path: String, n: Int): Seq[Long] = {
-    val baseAll = spark.read.parquet(s"$path/vectors")
+    val baseAll = readBase(spark, path)
     val all =
       if (hasDelta(spark, path))
         baseAll.unionByName(deltaFrame(spark, path, baseAll.schema))
@@ -1993,7 +2005,7 @@ object VectorIndex {
     val adc = adcColumn(cb, qv)
     val centroids = readModel(spark, path, IvfLayout)
     val probes = nearestCentroidIds(centroids, qv, nprobe)
-    val baseAll = spark.read.parquet(s"$path/vectors")
+    val baseAll = readBase(spark, path)
     val prunedBase = baseAll.where(col("centroid_id").isin(probes: _*))
     val pruned =
       if (hasDelta(spark, path))
@@ -2575,7 +2587,7 @@ object VectorIndex {
     // phase 1: pruned scan of the codes projection — the embedding column
     // is never read here (ReadSchema pin in PqSpec). Delta rows prune on
     // the partition id as a data column, same as resolvedPartitions.
-    val baseAll = spark.read.parquet(s"$path/vectors")
+    val baseAll = readBase(spark, path)
     val prunedBase = baseAll.where(IvfLayout.prunePred(allProbes))
     val pruned =
       if (hasDelta(spark, path))
