@@ -740,7 +740,10 @@ object TextAnalysis {
 
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     val redacted = piiRedacted(col("injected"))
-    Tables.documents(spark, sfDir)
+    // four multi-alternative regexes per row off a dense one-row-group
+    // scan: spread when small so the regex work is cluster-wide (r19)
+    Tables.spreadSmall(spark,
+      Tables.documents(spark, sfDir), s"$sfDir/documents.parquet")
       .select(col("doc_id"), piiInjected.as("injected"))
       .select(
         col("doc_id"),
