@@ -127,6 +127,18 @@ object GraftSession {
       // sort is the cost, paid only while a shuffle's data is small
       // enough that the buffer never spills).
       .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+      // AQE coalescing floor (r19): with parallelismFirst (default) AQE
+      // merges post-shuffle partitions down to minPartitionSize (1 MB) —
+      // a sub-MB shuffle collapses to ONE partition, so CPU-heavy work
+      // downstream of a small exchange (the ingest gates' 128-perm
+      // MinHash signing of a collapsed micro-batch: ~1 s single-task at
+      // bench scale) serializes onto one core. 16 KB keeps such stages
+      // at useful width. Scale-bounded by construction: the floor can
+      // only affect a shuffle whose total bytes are under
+      // minPartitionSize × parallelism — larger shuffles' partitions
+      // already exceed any floor — so at production volumes this knob is
+      // inert and partitioning stays AQE-derived from data size.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions()(_))
       .getOrCreate()
