@@ -1916,14 +1916,29 @@ object VectorIndex {
       // as a lazy plan it re-executed the full-store cross-join top-k
       // inside the PQ recallSummary as well, i.e. the report paid the
       // one-full-scan cost twice per call (r19)
-      val exact = KnnSearch.perQueryTopK(
+      val exactPairs = KnnSearch.perQueryTopK(
         live.crossJoin(broadcast(queryDf))
           .select(col("query_id"), col("vec_id"),
             round(graft.functions.VectorFunctions.cosineSim(
               col("embedding"), col("query_vec")), 4).as("score")),
         k).select(col("query_id"), col("vec_id"))
-        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
-        .toDF("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // both recall summaries compute DRIVER-SIDE over the collected id
+      // pairs (≤ k·nQueries rows each — bounded query state): as
+      // distributed plans each summary was another join + aggregate
+      // execution per call, re-reading the probe scans. Arithmetic is
+      // the exact recallSummary contract: recall = n_hit/k per exact
+      // query id, mean/min rounded by the shared explicit-floor 4dp.
+      def summarize(approxPairs: Array[(Long, Long)]): (Long, Double, Double) = {
+        val exactSet = exactPairs.toSet
+        val hits = approxPairs.filter(exactSet.contains)
+          .groupBy(_._1).map { case (q, ps) => q -> ps.length }
+        val qids = exactPairs.map(_._1).distinct.sorted
+        val recalls = qids.map(q => hits.getOrElse(q, 0).toDouble / k)
+        def round4(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+        (qids.length.toLong, round4(recalls.sum / recalls.length),
+          round4(recalls.min))
+      }
       val probePairs = queries.toSeq.flatMap { case (qid, qv) =>
         nearestCentroidIds(centroids, qv, nprobe).map(p => (qid, p, qv.toSeq))
       }
@@ -1936,10 +1951,8 @@ object VectorIndex {
             round(graft.functions.VectorFunctions.cosineSim(
               col("embedding"), col("query_vec")), 4).as("score")),
         k).select(col("query_id"), col("vec_id"))
-      // materialize the one summary row BEFORE the finally unpersists the
-      // live frame the lazy plan would otherwise still reference
-      val s = recallSummary(exact, approx, k).collect().head
-      val meanRecall = s.getDouble(2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val (nQ, meanRecall, minRecall) = summarize(approx)
       // the quantized serving config is judged too (r19, VERDICT r18
       // item 1): the same floor against the IVF-PQ probe's recall — ADC
       // ranking decays under corpus turnover through a SECOND mechanism
@@ -1951,12 +1964,13 @@ object VectorIndex {
           val approxPq = batchIvfPqSearchStoreAt(spark, path,
             queries.toSeq, k, nprobe, fetchK = 50, excludeBelow = None)
             .select(col("query_id"), col("vec_id"))
-          val sp = recallSummary(exact, approxPq, k).collect().head
-          Some((sp.getDouble(2), sp.getDouble(3)))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          val (_, mp, np) = summarize(approxPq)
+          Some((mp, np))
         } else None
       val healthy = meanRecall >= recallFloor &&
         pq.forall(_._1 >= recallFloor)
-      Seq((s.getLong(0), k, nprobe, meanRecall, s.getDouble(3),
+      Seq((nQ, k, nprobe, meanRecall, minRecall,
         pq.map(_._1), pq.map(_._2), recallFloor, healthy,
         if (healthy) "none" else "compactStore(retrain = true)"))
         .toDF("n_queries", "k", "nprobe", "mean_recall", "min_recall",
