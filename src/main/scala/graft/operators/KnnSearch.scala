@@ -30,9 +30,28 @@ object KnnSearch {
   private val qvCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Float]]()
 
+  /** Batch query SETS, cached like single query vectors (r19): the
+    * lowest-`n` embeddings are the deterministic batch-query parameter of
+    * every `knn_batch_*` / `ann_eval*` call, and each call paid one
+    * collect job to re-fetch ≤ n rows the session already had. Sorted by
+    * id so downstream probe tables derive deterministically. */
+  private val qvSetCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Array[(Long, Array[Float])]]()
+  private[graft] def queryVectors(
+      spark: SparkSession, sfDir: String, n: Int): Array[(Long, Array[Float])] =
+    qvSetCache.computeIfAbsent((sfDir, n), { _ =>
+      Tables.embeddings(spark, sfDir)
+        .where(col("vec_id") < n)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1)
+    })
+
   /** See [[graft.GraftSession.invalidateCorpus]]. */
-  private[graft] def invalidateCorpus(sfDir: String): Unit =
+  private[graft] def invalidateCorpus(sfDir: String): Unit = {
     qvCache.keySet.removeIf(_._1 == sfDir)
+    qvSetCache.keySet.removeIf(_._1 == sfDir)
+  }
   def queryVector(spark: SparkSession, sfDir: String, vecId: Long): Array[Float] =
     qvCache.computeIfAbsent((sfDir, vecId), { _ =>
       Tables.embeddings(spark, sfDir)

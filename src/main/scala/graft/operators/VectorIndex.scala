@@ -1641,10 +1641,7 @@ object VectorIndex {
     import spark.implicits._
     val path = ensureStore(spark, sfDir)
     val centroids = readModel(spark, path, IvfLayout)
-    val queries = Tables.embeddings(spark, sfDir)
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val queries = KnnSearch.queryVectors(spark, sfDir, nQueries)
     val probePairs = queries.flatMap { case (qid, qv) =>
       nearestCentroidIds(centroids, qv, nprobe)
         .map(cid => (qid, cid, qv.toSeq))
@@ -1718,10 +1715,7 @@ object VectorIndex {
     import spark.implicits._
     val path = ensureLshStore(spark, sfDir)
     val planes = readModel(spark, path, LshLayout)
-    val queries = Tables.embeddings(spark, sfDir)
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val queries = KnnSearch.queryVectors(spark, sfDir, nQueries)
     val probePairs = queries.flatMap { case (qid, qv) =>
       multiProbeBuckets(planes, qv, probeHamming)
         .map(b => (qid, b, qv.toSeq))
@@ -2477,10 +2471,7 @@ object VectorIndex {
     import spark.implicits._
     import graft.functions.TopKAgg.topkAgg
     val cb = trainPqCodebooks(spark, sfDir)
-    val queries = Tables.embeddings(spark, sfDir)
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val queries = KnnSearch.queryVectors(spark, sfDir, nQueries)
     // per-query LUT flattened to lut[sub * width + code] so the row side
     // is 8 element_at lookups regardless of query count; max ADC
     // magnitude ~6e9 ≪ 2^53, so the double-typed heap ordinal is exact
@@ -2548,11 +2539,7 @@ object VectorIndex {
       nprobe: Int = 4,
       fetchK: Int = 50): DataFrame = {
     val path = ensureStore(spark, sfDir)
-    val queries = Tables.embeddings(spark, sfDir)
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-      .toSeq
+    val queries = KnnSearch.queryVectors(spark, sfDir, nQueries).toSeq
     batchIvfPqSearchStoreAt(spark, path, queries, k, nprobe, fetchK,
       excludeBelow = Some(nQueries.toLong))
   }
