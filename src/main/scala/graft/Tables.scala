@@ -42,19 +42,19 @@ object Tables {
     schemaCache.put(path, schema); ()
   }
 
-  /** Total on-disk bytes of a parquet path (file or dir), cached — the
-    * driver-side input-size probe [[spreadSmall]] keys on. */
+  /** (total on-disk bytes, file count) of a parquet path (file or dir),
+    * cached — the driver-side input probe [[spreadSmall]] keys on. */
   private val sizeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def totalBytes(path: String): Long =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+  private def pathStats(path: String): (Long, Int) =
     sizeCache.computeIfAbsent(path, { p =>
       val f = new java.io.File(p)
       val files =
         if (f.isDirectory)
           f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet"))
         else Array(f)
-      java.lang.Long.valueOf(files.map(_.length()).sum)
-    }).longValue()
+      (files.map(_.length()).sum, files.length)
+    })
 
   /** Spread a SMALL dense scan across the cluster before CPU-heavy
     * per-row work (r19). The dup-heavy corpora compress ~100:1, so a
@@ -76,8 +76,13 @@ object Tables {
     val maxBytes = spark.conf
       .getOption("spark.graft.denseScan.maxBytes").map(_.toLong)
       .getOrElse(64L << 20)
-    if (totalBytes(path) < maxBytes)
-      df.repartition(spark.sparkContext.defaultParallelism)
+    val p = spark.sparkContext.defaultParallelism
+    val (bytes, files) = pathStats(path)
+    // a multi-file path is already scan-parallel (parquet assigns ≥ one
+    // task per file) — the repartition would be a pure extra exchange
+    // there (measured +27% on the sf10 replica's 400-file documents dir)
+    if (bytes < maxBytes && files < p / 2)
+      df.repartition(p)
     else df
   }
 
